@@ -1,0 +1,182 @@
+"""Group-wise asymmetric min/max quantization and int32 bit-packing.
+
+TPU-native reimplementation of the GEAR/KIVI quantization math. Behavioral
+reference (semantics only, not code):
+  - reference: cuda_supported_gear/quant/new_pack.py:8-129
+    (quant_and_pack_kcache/vcache, pack_tensor, unpack_tensor)
+  - reference: GenerationBench/GenerationTest/GEARLM/Simulated/compress_function.py:7-67
+    (fake groupwise token/channel asymmetric quantization)
+
+Conventions:
+  * All primitives operate along the LAST dimension; callers transpose to
+    select per-token vs per-channel grouping.
+  * Codes use ``levels`` quantization levels: ``q = round((x - mn) / step)``
+    with ``step = (mx - mn) / levels`` and ``q`` clamped to ``[0, levels]``.
+    For standard b-bit quantization ``levels = 2**b - 1``.
+  * Packing ORs ``32 // bits`` consecutive codes into one int32 word,
+    little-endian within the word: word[i] = sum_j codes[i*fpi + j] << (bits*j)
+    (mirrors reference pack_tensor semantics, new_pack.py:86-107).
+  * Quant math runs in float32 regardless of input dtype (the reference
+    casts to float before quantizing).
+
+All functions are shape-polymorphic over leading batch dims and jit-safe
+(static shapes, no data-dependent control flow).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _as_f32(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.float32)
+
+
+def group_minmax(x: jax.Array, group_size: int) -> tuple[jax.Array, jax.Array]:
+    """Per-group (min, max) along the last dim.
+
+    x: [..., n] with n % group_size == 0.
+    Returns (mn, mx) each of shape [..., n // group_size].
+    """
+    n = x.shape[-1]
+    if n % group_size != 0:
+        raise ValueError(f"last dim {n} not divisible by group_size {group_size}")
+    g = x.reshape(*x.shape[:-1], n // group_size, group_size)
+    return jnp.min(g, axis=-1), jnp.max(g, axis=-1)
+
+
+def quantize_groups(
+    x: jax.Array,
+    bits: int,
+    group_size: int,
+    *,
+    levels: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Group-wise asymmetric quantization along the last dim.
+
+    Returns (codes int32 [..., n], scale f32 [..., n//G], mn f32 [..., n//G]).
+    ``scale`` is the step size; dequant is ``codes * scale + mn``.
+
+    ``levels`` overrides the default ``2**bits - 1`` top code (the simulated
+    GEAR outlier path uses non-power-of-two level counts).
+    """
+    if levels is None:
+        levels = (1 << bits) - 1
+    xf = _as_f32(x)
+    mn, mx = group_minmax(xf, group_size)
+    scale = (mx - mn) / levels
+    # Guard constant groups (reference divides unguarded -> NaN; fixed here).
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    n = x.shape[-1]
+    gshape = (*x.shape[:-1], n // group_size, group_size)
+    q = (xf.reshape(gshape) - mn[..., None]) / safe[..., None]
+    q = jnp.clip(jnp.round(q), 0, levels).astype(jnp.int32)
+    return q.reshape(x.shape), scale, mn
+
+
+def dequantize_groups(
+    codes: jax.Array,
+    scale: jax.Array,
+    mn: jax.Array,
+    group_size: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Inverse of :func:`quantize_groups`: ``codes * scale + mn``."""
+    n = codes.shape[-1]
+    gshape = (*codes.shape[:-1], n // group_size, group_size)
+    x = codes.reshape(gshape).astype(jnp.float32) * scale[..., None] + mn[..., None]
+    return x.reshape(codes.shape).astype(dtype)
+
+
+def fake_quantize_groups(
+    x: jax.Array, bits: int, group_size: int, *, levels: int | None = None
+) -> jax.Array:
+    """Quantize -> dequantize round trip (the "simulated" accuracy path)."""
+    codes, scale, mn = quantize_groups(x, bits, group_size, levels=levels)
+    return dequantize_groups(codes, scale, mn, group_size, dtype=x.dtype)
+
+
+def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack int codes (values in [0, 2**bits)) into int32 words along last dim.
+
+    codes: [..., n] with n % (32 // bits) == 0 -> int32 [..., n * bits // 32].
+    """
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be one of 2, 4, 8")
+    fpi = 32 // bits
+    n = codes.shape[-1]
+    if n % fpi != 0:
+        raise ValueError(f"last dim {n} not divisible by {fpi}")
+    c = codes.astype(jnp.uint32).reshape(*codes.shape[:-1], n // fpi, fpi)
+    shifts = (jnp.arange(fpi, dtype=jnp.uint32) * bits)[
+        (None,) * (c.ndim - 1) + (slice(None),)
+    ]
+    word = jnp.bitwise_or.reduce(c << shifts, axis=-1) if hasattr(
+        jnp.bitwise_or, "reduce"
+    ) else jnp.sum(c << shifts, axis=-1)  # codes are disjoint bit fields: sum == or
+    return word.astype(jnp.int32)
+
+
+def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
+    """Unpack int32 words back to int32 codes along the last dim.
+
+    packed: [..., w] -> int32 codes [..., w * (32 // bits)].
+    """
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be one of 2, 4, 8")
+    fpi = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    w = packed.astype(jnp.uint32)[..., None]  # [..., w, 1]
+    shifts = (jnp.arange(fpi, dtype=jnp.uint32) * bits)[
+        (None,) * (w.ndim - 1) + (slice(None),)
+    ]
+    codes = (w >> shifts) & mask
+    return codes.reshape(*packed.shape[:-1], packed.shape[-1] * fpi).astype(jnp.int32)
+
+
+def quantize_and_pack(
+    x: jax.Array, bits: int, group_size: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """quantize_groups + pack_codes in one call.
+
+    Returns (packed int32 [..., n*bits//32], scale [..., n//G], mn [..., n//G]).
+    """
+    codes, scale, mn = quantize_groups(x, bits, group_size)
+    return pack_codes(codes, bits), scale, mn
+
+
+def unpack_and_dequantize(
+    packed: jax.Array,
+    scale: jax.Array,
+    mn: jax.Array,
+    bits: int,
+    group_size: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Inverse of :func:`quantize_and_pack`."""
+    codes = unpack_codes(packed, bits)
+    return dequantize_groups(codes, scale, mn, group_size, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Layout wrappers over [batch, heads, seq, head_dim] KV tensors.
+# ---------------------------------------------------------------------------
+
+def quant_kv_per_token(x: jax.Array, bits: int, group_size: int):
+    """Per-token quant of [B, H, S, D]: groups along the head dim D.
+
+    This is the fused-path V layout (reference quant_and_pack_vcache,
+    new_pack.py:30-48). Returns (codes [B,H,S,D], scale/mn [B,H,S,D//G]).
+    """
+    return quantize_groups(x, bits, group_size)
+
+
+def quant_kv_per_channel(x: jax.Array, bits: int, group_size: int):
+    """Per-channel quant of [B, H, S, D]: groups along the seq dim S.
+
+    This is the fused-path K layout (reference quant_and_pack_kcache,
+    new_pack.py:8-27). Operates on the transposed view [B, H, D, S].
+    Returns (codes [B,H,D,S], scale/mn [B,H,D,S//G]) in TRANSPOSED layout.
+    """
+    xt = jnp.swapaxes(x, -1, -2)
+    return quantize_groups(xt, bits, group_size)
