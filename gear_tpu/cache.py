@@ -1,0 +1,480 @@
+"""Two-tier compressed KV cache — the TPU-native GEAR-KIVI fused path.
+
+Behavioral reference (semantics only, reimplemented TPU-first):
+  - reference: cuda_supported_gear/modeling_llamagear.py:177-484 — two-tier
+    cache: packed-quantized prefix (K per-channel, V per-token) + fp16
+    residual ring of ``residual_length`` tokens, flushed through
+    quantize-and-pack + per-head low-rank error bases when full.
+  - reference: cuda_supported_gear/quant/new_pack.py:8-48 (KIVI layouts),
+    :253-288 (quantize with error), :291-311 (headwise_lrap).
+  - reference: cuda_supported_gear/modeling_llamagear.py:54-111
+    (matmul_withlrap: quantized GEMV + ``q @ Q P^T`` low-rank correction).
+
+TPU-native redesign (vs the reference's growing 17-slot python tuples):
+  * every leaf is a FIXED-SHAPE array preallocated to ``max_len``; lengths are
+    int32 scalars in the pytree, so one jitted decode step serves the entire
+    generation (no retracing, no host round-trips);
+  * K codes are packed along TIME into int32 words ([B,H,D,W]) so the
+    per-channel scale folds into the query once per time-group and the score
+    against packed codes is a pure (integer) matmul;
+  * V codes are packed along HEAD-DIM ([B,H,T,Wd]) so the per-token scale
+    folds into the attention weights and PV is again a pure matmul;
+  * low-rank error bases are stored per time-block (block == group ==
+    residual length): P [B,H,NB,D,r], Q [B,H,T,r]; the prefill block's
+    rank-``prefill_rank`` base is replicated across its blocks, decode flushes
+    write rank-``rank`` bases (zero-padded columns);
+  * the residual tier is a linear buffer flushed exactly when full
+    (``resid_len == group``), as a ``lax.cond`` inside the jitted step.
+
+The attention entry point :func:`attend` computes decode attention directly
+against the compressed representation (packed codes + folded scales +
+low-rank correction + residual) with one online softmax across both tiers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .core import lowrank, quant
+
+
+@dataclass(frozen=True)
+class CacheSpec:
+    """Static description of one layer's compressed cache (hashable; safe as
+    a jit static argument)."""
+
+    batch: int
+    num_kv_heads: int
+    head_dim: int
+    max_len: int          # capacity in tokens; multiple of group
+    bits: int = 4         # 2 | 4 | 8
+    group: int = 64       # time-group for K == head-dim group for V == residual len
+    rank: int = 2         # decode-flush rank for the low-rank error bases
+    prefill_rank: int = 4
+    lowrank_loop: int = 3
+    dtype: jnp.dtype = jnp.bfloat16
+    sideband_dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.max_len % self.group != 0:
+            raise ValueError("max_len must be a multiple of group")
+        if 32 % self.bits != 0:
+            raise ValueError("bits must divide 32")
+        if self.group % (32 // self.bits) != 0:
+            raise ValueError("group must be a multiple of feats-per-int32")
+
+    @property
+    def fpi(self) -> int:
+        return 32 // self.bits
+
+    @property
+    def n_blocks(self) -> int:
+        return self.max_len // self.group
+
+    @property
+    def v_group(self) -> int:
+        return min(self.group, self.head_dim)
+
+    @property
+    def v_groups_per_token(self) -> int:
+        return self.head_dim // self.v_group
+
+    @property
+    def r_store(self) -> int:
+        return max(self.rank, self.prefill_rank)
+
+    @property
+    def k_words(self) -> int:
+        return self.max_len // self.fpi
+
+    @property
+    def v_words(self) -> int:
+        return self.head_dim // self.fpi
+
+    def bytes_compressed(self) -> int:
+        """HBM bytes of one layer's cache at full capacity (for reporting)."""
+        import numpy as np
+
+        def nbytes(shape, dt):
+            return int(np.prod(shape)) * jnp.dtype(dt).itemsize
+
+        b, h, d, t = self.batch, self.num_kv_heads, self.head_dim, self.max_len
+        el = jnp.dtype(self.sideband_dtype).itemsize
+        total = 0
+        total += nbytes((b, h, d, self.k_words), jnp.int32)
+        total += 2 * b * h * d * self.n_blocks * el
+        total += nbytes((b, h, t, self.v_words), jnp.int32)
+        total += 2 * b * h * t * self.v_groups_per_token * el
+        total += 2 * nbytes((b, h, self.group, d), self.dtype)
+        total += 2 * b * h * self.n_blocks * d * self.r_store * 2
+        total += 2 * b * h * t * self.r_store * 2
+        return total
+
+    def bytes_fp16_baseline(self) -> int:
+        b, h, d, t = self.batch, self.num_kv_heads, self.head_dim, self.max_len
+        return 2 * b * h * t * d * 2
+
+
+@struct.dataclass
+class LayerCache:
+    """One layer's compressed KV state. All leaves fixed-shape arrays."""
+
+    # Packed quantized prefix. K is stored TRANSPOSED [B,H,D,*].
+    k_codes: jax.Array   # int32 [B, H, D, max_len // fpi]
+    k_scale: jax.Array   # [B, H, D, n_blocks]
+    k_mn: jax.Array      # [B, H, D, n_blocks]
+    v_codes: jax.Array   # int32 [B, H, max_len, head_dim // fpi]
+    v_scale: jax.Array   # [B, H, max_len, v_groups_per_token]
+    v_mn: jax.Array      # [B, H, max_len, v_groups_per_token]
+    # Residual (uncompressed) tier.
+    k_resid: jax.Array   # [B, H, group, head_dim]
+    v_resid: jax.Array   # [B, H, group, head_dim]
+    # Low-rank error bases, per time-block.
+    kp: jax.Array        # [B, H, n_blocks, head_dim, r_store]
+    kq: jax.Array        # [B, H, max_len, r_store]
+    vp: jax.Array        # [B, H, n_blocks, head_dim, r_store]
+    vq: jax.Array        # [B, H, max_len, r_store]
+    # Lengths (tokens). comp_len is always a multiple of group.
+    comp_len: jax.Array  # int32 scalar
+    resid_len: jax.Array  # int32 scalar
+
+    @property
+    def total_len(self) -> jax.Array:
+        return self.comp_len + self.resid_len
+
+
+def init_layer_cache(spec: CacheSpec) -> LayerCache:
+    b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
+    sb = spec.sideband_dtype
+    return LayerCache(
+        k_codes=jnp.zeros((b, h, d, spec.k_words), jnp.int32),
+        k_scale=jnp.zeros((b, h, d, spec.n_blocks), sb),
+        k_mn=jnp.zeros((b, h, d, spec.n_blocks), sb),
+        v_codes=jnp.zeros((b, h, spec.max_len, spec.v_words), jnp.int32),
+        v_scale=jnp.zeros((b, h, spec.max_len, spec.v_groups_per_token), sb),
+        v_mn=jnp.zeros((b, h, spec.max_len, spec.v_groups_per_token), sb),
+        k_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
+        v_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
+        kp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), spec.dtype),
+        kq=jnp.zeros((b, h, spec.max_len, spec.r_store), spec.dtype),
+        vp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), spec.dtype),
+        vq=jnp.zeros((b, h, spec.max_len, spec.r_store), spec.dtype),
+        comp_len=jnp.zeros((), jnp.int32),
+        resid_len=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression of a block of tokens (prefill or residual flush).
+# ---------------------------------------------------------------------------
+
+def _compress_k_block(spec: CacheSpec, k: jax.Array):
+    """K block [B,H,S,D] -> per-channel codes packed along time.
+
+    Each channel's S tokens are quantized in time-groups of ``spec.group``.
+    Returns (packed int32 [B,H,D,S//fpi], scale [B,H,D,S//group], mn).
+    """
+    kt = jnp.swapaxes(k, -1, -2)  # [B,H,D,S]
+    codes, scale, mn = quant.quantize_groups(kt, spec.bits, spec.group)
+    packed = quant.pack_codes(codes, spec.bits)
+    return packed, scale.astype(spec.sideband_dtype), mn.astype(spec.sideband_dtype)
+
+
+def _compress_v_block(spec: CacheSpec, v: jax.Array):
+    """V block [B,H,S,D] -> per-token codes packed along head dim.
+
+    Returns (packed int32 [B,H,S,D//fpi], scale [B,H,S,D//v_group], mn).
+    """
+    codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
+    packed = quant.pack_codes(codes, spec.bits)
+    return packed, scale.astype(spec.sideband_dtype), mn.astype(spec.sideband_dtype)
+
+
+def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
+    """Inverse of _compress_k_block -> [B,H,S,D]."""
+    codes = quant.unpack_codes(packed, spec.bits)
+    kt = quant.dequantize_groups(
+        codes, scale.astype(jnp.float32), mn.astype(jnp.float32), spec.group
+    )
+    return jnp.swapaxes(kt, -1, -2)
+
+
+def _dequant_v_block(spec: CacheSpec, packed, scale, mn):
+    codes = quant.unpack_codes(packed, spec.bits)
+    return quant.dequantize_groups(
+        codes, scale.astype(jnp.float32), mn.astype(jnp.float32), spec.v_group
+    )
+
+
+def _error_bases(spec: CacheSpec, x, x_hat, rank: int, key):
+    """Low-rank bases of the quantization error, zero-padded to r_store.
+
+    x, x_hat: [B,H,S,D]. Returns (P [B,H,D,r_store], Q [B,H,S,r_store]).
+    """
+    err = x.astype(jnp.float32) - x_hat.astype(jnp.float32)
+    p, q = lowrank.power_iterate(err, rank, spec.lowrank_loop, key)
+    pad = spec.r_store - rank
+    if pad:
+        p = jnp.pad(p, ((0, 0),) * (p.ndim - 1) + ((0, pad),))
+        q = jnp.pad(q, ((0, 0),) * (q.ndim - 1) + ((0, pad),))
+    return p.astype(spec.dtype), q.astype(spec.dtype)
+
+
+def prefill(
+    spec: CacheSpec,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key: jax.Array | None = None,
+    use_lowrank: bool = True,
+) -> LayerCache:
+    """Build a LayerCache from prefill K/V [B,H,S,D] (S <= max_len, static).
+
+    The first ``(S // group) * group`` tokens are compressed as one prefill
+    block at ``prefill_rank``; the remainder seeds the residual tier
+    (reference: modeling_llamagear.py:386-434).
+    """
+    b, h, s, d = k.shape
+    g = spec.group
+    n_full = (s // g) * g
+    cache = init_layer_cache(spec)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    if n_full:
+        kb, vb = k[:, :, :n_full], v[:, :, :n_full]
+        k_pack, k_scale, k_mn = _compress_k_block(spec, kb)
+        v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
+        cache = cache.replace(
+            k_codes=cache.k_codes.at[..., : n_full // spec.fpi].set(k_pack),
+            k_scale=cache.k_scale.at[..., : n_full // g].set(k_scale),
+            k_mn=cache.k_mn.at[..., : n_full // g].set(k_mn),
+            v_codes=cache.v_codes.at[:, :, :n_full].set(v_pack),
+            v_scale=cache.v_scale.at[:, :, :n_full].set(v_scale),
+            v_mn=cache.v_mn.at[:, :, :n_full].set(v_mn),
+            comp_len=jnp.int32(n_full),
+        )
+        if use_lowrank and spec.prefill_rank > 0:
+            kk, kv = jax.random.split(key)
+            k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
+            v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
+            kp1, kq1 = _error_bases(spec, kb, k_hat, spec.prefill_rank, kk)
+            vp1, vq1 = _error_bases(spec, vb, v_hat, spec.prefill_rank, kv)
+            nb = n_full // g
+            # Replicate the prefill P across its blocks; Q rows go in place.
+            cache = cache.replace(
+                kp=cache.kp.at[:, :, :nb].set(kp1[:, :, None].repeat(nb, 2)),
+                kq=cache.kq.at[:, :, :n_full].set(kq1),
+                vp=cache.vp.at[:, :, :nb].set(vp1[:, :, None].repeat(nb, 2)),
+                vq=cache.vq.at[:, :, :n_full].set(vq1),
+            )
+
+    tail = s - n_full
+    if tail:
+        cache = cache.replace(
+            k_resid=cache.k_resid.at[:, :, :tail].set(
+                k[:, :, n_full:].astype(spec.dtype)
+            ),
+            v_resid=cache.v_resid.at[:, :, :tail].set(
+                v[:, :, n_full:].astype(spec.dtype)
+            ),
+            resid_len=jnp.int32(tail),
+        )
+    return cache
+
+
+def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerCache:
+    """Quantize the full residual buffer into the packed prefix.
+
+    reference behavior: modeling_llamagear.py:265-293 (keys) / :335-384
+    (values) — flush happens exactly when the residual reaches ``group``.
+    """
+    g = spec.group
+    kb = cache.k_resid.astype(jnp.float32)
+    vb = cache.v_resid.astype(jnp.float32)
+    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,D,g//fpi],[B,H,D,1]
+    v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
+
+    blk = cache.comp_len // g
+    word0 = cache.comp_len // spec.fpi
+    b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
+
+    upd = dict(
+        k_codes=jax.lax.dynamic_update_slice(
+            cache.k_codes, k_pack, (0, 0, 0, word0)
+        ),
+        k_scale=jax.lax.dynamic_update_slice(
+            cache.k_scale, k_scale, (0, 0, 0, blk)
+        ),
+        k_mn=jax.lax.dynamic_update_slice(cache.k_mn, k_mn, (0, 0, 0, blk)),
+        v_codes=jax.lax.dynamic_update_slice(
+            cache.v_codes, v_pack, (0, 0, cache.comp_len, 0)
+        ),
+        v_scale=jax.lax.dynamic_update_slice(
+            cache.v_scale, v_scale, (0, 0, cache.comp_len, 0)
+        ),
+        v_mn=jax.lax.dynamic_update_slice(
+            cache.v_mn, v_mn, (0, 0, cache.comp_len, 0)
+        ),
+        comp_len=cache.comp_len + g,
+        resid_len=jnp.int32(0),
+    )
+    if use_lowrank and spec.rank > 0:
+        kk, kv = jax.random.split(jax.random.fold_in(key, 0))
+        k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
+        v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
+        kp1, kq1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
+        vp1, vq1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
+        upd.update(
+            kp=jax.lax.dynamic_update_slice(
+                cache.kp, kp1[:, :, None], (0, 0, blk, 0, 0)
+            ),
+            kq=jax.lax.dynamic_update_slice(cache.kq, kq1, (0, 0, cache.comp_len, 0)),
+            vp=jax.lax.dynamic_update_slice(
+                cache.vp, vp1[:, :, None], (0, 0, blk, 0, 0)
+            ),
+            vq=jax.lax.dynamic_update_slice(cache.vq, vq1, (0, 0, cache.comp_len, 0)),
+        )
+    return cache.replace(**upd)
+
+
+def append(
+    spec: CacheSpec,
+    cache: LayerCache,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    *,
+    key: jax.Array | None = None,
+    use_lowrank: bool = True,
+) -> LayerCache:
+    """Append one decode step's K/V [B,H,1,D]; flush the residual tier into
+    the packed prefix when it fills to ``group`` tokens (lax.cond — jit-safe).
+    """
+    i = cache.resid_len
+    cache = cache.replace(
+        k_resid=jax.lax.dynamic_update_slice(
+            cache.k_resid, k_new.astype(spec.dtype), (0, 0, i, 0)
+        ),
+        v_resid=jax.lax.dynamic_update_slice(
+            cache.v_resid, v_new.astype(spec.dtype), (0, 0, i, 0)
+        ),
+        resid_len=i + 1,
+    )
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    key = jax.random.fold_in(key, cache.comp_len)
+    return jax.lax.cond(
+        cache.resid_len == spec.group,
+        lambda c: _flush(spec, c, key, use_lowrank),
+        lambda c: c,
+        cache,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attention against the compressed cache (XLA reference path).
+# The Pallas fused kernel (gear_tpu.kernels.decode) implements the same
+# contract; this version is the correctness baseline and CPU fallback.
+# ---------------------------------------------------------------------------
+
+def dequantize_kv(spec: CacheSpec, cache: LayerCache):
+    """Materialize the full reconstructed K/V [B,H,max_len,D] (prefix tier
+    only; includes low-rank correction). For tests and the fallback path."""
+    k = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
+    v = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
+    b, h = spec.batch, spec.num_kv_heads
+    nb, g, r = spec.n_blocks, spec.group, spec.r_store
+    kq = cache.kq.reshape(b, h, nb, g, r).astype(jnp.float32)
+    vq = cache.vq.reshape(b, h, nb, g, r).astype(jnp.float32)
+    k_corr = jnp.einsum("bhngr,bhndr->bhngd", kq, cache.kp.astype(jnp.float32))
+    v_corr = jnp.einsum("bhngr,bhndr->bhngd", vq, cache.vp.astype(jnp.float32))
+    k = k + k_corr.reshape(k.shape)
+    v = v + v_corr.reshape(v.shape)
+    return k, v
+
+
+def attend(
+    spec: CacheSpec,
+    cache: LayerCache,
+    q: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    pad_start: jax.Array | None = None,
+) -> jax.Array:
+    """Decode attention of q [B,Hq,Qn,D] against the compressed cache.
+
+    Computes scores against (a) the packed prefix with low-rank correction and
+    (b) the residual tier, with a single masked softmax across both, then the
+    analogous two-tier PV product. GQA: Hq must be a multiple of num_kv_heads
+    (the reference fused path asserts this away, modeling_llamagear.py:206 —
+    supported here).
+
+    pad_start: optional int32 [B] — per-row first valid token index (for
+    left-padded batches).
+    """
+    b, hq, qn, d = q.shape
+    hkv = spec.num_kv_heads
+    if hq % hkv:
+        raise ValueError(f"query heads {hq} not a multiple of kv heads {hkv}")
+    gq = hq // hkv
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    t, nb, g, r = spec.max_len, spec.n_blocks, spec.group, spec.r_store
+
+    qf = q.reshape(b, hkv, gq * qn, d).astype(jnp.float32)
+
+    # --- scores: packed prefix ---
+    k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
+    scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)
+    # low-rank correction: q·P per block, dotted with per-token Q rows
+    kp = cache.kp.astype(jnp.float32)
+    kq = cache.kq.reshape(b, hkv, nb, g, r).astype(jnp.float32)
+    qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
+    scores_lr = jnp.einsum("bhqnr,bhngr->bhqng", qp, kq).reshape(b, hkv, gq * qn, t)
+    # residual tier
+    kr = cache.k_resid.astype(jnp.float32)
+    scores_res = jnp.einsum("bhqd,bhrd->bhqr", qf, kr)
+
+    scores = jnp.concatenate([scores_q + scores_lr, scores_res], axis=-1)
+    scores = scores * sm_scale
+
+    # --- mask ---
+    pos = jnp.arange(t + spec.group)
+    valid = jnp.where(pos < t, pos < cache.comp_len, (pos - t) < cache.resid_len)
+    valid = valid[None, None, None, :]
+    if pad_start is not None:
+        valid = valid & jnp.where(
+            pos[None, :] < t, pos[None, :] >= pad_start[:, None], True
+        )[:, None, None, :]
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    w = jax.nn.softmax(scores, axis=-1)
+    wc, wr = w[..., :t], w[..., t:]
+
+    # --- PV: packed prefix ---
+    v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
+    out = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
+    vp = cache.vp.astype(jnp.float32)
+    vq = cache.vq.reshape(b, hkv, nb, g, r).astype(jnp.float32)
+    wv = jnp.einsum("bhqng,bhngr->bhqnr", wc.reshape(b, hkv, gq * qn, nb, g), vq)
+    out = out + jnp.einsum("bhqnr,bhndr->bhqd", wv, vp)
+    out = out + jnp.einsum("bhqr,bhrd->bhqd", wr, cache.v_resid.astype(jnp.float32))
+
+    return out.reshape(b, hq, qn, d).astype(q.dtype)
+
+
+def stack_layers(caches: list[LayerCache]) -> LayerCache:
+    """Stack per-layer caches into one pytree with a leading layer axis
+    (for lax.scan over layers)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+
+
+def init_stacked(spec: CacheSpec, num_layers: int) -> LayerCache:
+    one = init_layer_cache(spec)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (num_layers,) + x.shape), one
+    )
