@@ -1,0 +1,255 @@
+"""Inference engine: bucketed prefill + single-compile decode loop.
+
+The reference delegates generation to HF ``transformers.generate`` (survey §1:
+"the reference does not implement its own decode loop"). Here the loop is
+TPU-native: one jitted decode step (static shapes, compressed-cache append +
+attend + lax.cond flush inside), a python driver that only syncs with the
+device every ``sync_every`` steps, and left-padded batches like the
+reference's eval harness (evaluation_gsm8k.py:463-529).
+
+Modes:
+  * ``fused``     — two-tier compressed cache (the speed+memory path).
+  * ``raw``       — uncompressed bf16 cache (fp16-baseline parity).
+  * ``simulated`` — raw cache + fake-quant recompression: whole prompt at
+    prefill, then a sliding ``streaming_gap`` window during decode
+    (stream_grouping semantics, modeling_llama_new.py:973-996) — the
+    accuracy-measurement path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cache as kvcache
+from .config import CompressionConfig
+from .core import simulated
+from .models import llama
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    max_len: int = 2048
+    mode: str = "fused"            # fused | raw | simulated
+    eos_token_id: int | None = None
+    pad_token_id: int = 0
+    temperature: float = 0.0       # 0 = greedy
+    sync_every: int = 16           # host<->device sync cadence for early exit
+    use_lowrank: bool = True
+
+
+class InferenceEngine:
+    """Holds params + compiled prefill/decode functions for one model."""
+
+    def __init__(
+        self,
+        model_cfg: llama.ModelConfig,
+        params: dict,
+        comp: CompressionConfig | None = None,
+        engine_cfg: EngineConfig = EngineConfig(),
+        batch_size: int = 1,
+    ):
+        self.cfg = model_cfg
+        self.params = params
+        self.comp = comp or CompressionConfig(num_layers=model_cfg.num_layers)
+        self.ecfg = engine_cfg
+        self.batch = batch_size
+        lcomp = self.comp.layer(0)
+        if engine_cfg.max_len % lcomp.group_size:
+            raise ValueError("max_len must be a multiple of group_size")
+        self.spec = model_cfg.cache_spec(batch_size, engine_cfg.max_len, lcomp)
+        self._prefill_fns: dict[int, Any] = {}
+        self._decode_fn = None
+        self._recompress_fn = None
+
+    # -- bucketing ------------------------------------------------------
+
+    def bucket_len(self, s: int) -> int:
+        """Round up to a multiple of the quant group so left-padding always
+        lands in the compressed prefix (keeps pad masking exact)."""
+        g = self.spec.group
+        b = ((s + g - 1) // g) * g
+        if b > self.ecfg.max_len:
+            raise ValueError(f"prompt length {s} exceeds max_len {self.ecfg.max_len}")
+        return b
+
+    @staticmethod
+    def left_pad(token_lists: list[list[int]], pad_id: int, to_len: int):
+        """-> (tokens [B,S] int32, mask [B,S] int32)."""
+        b = len(token_lists)
+        tokens = np.full((b, to_len), pad_id, np.int32)
+        mask = np.zeros((b, to_len), np.int32)
+        for i, t in enumerate(token_lists):
+            t = t[-to_len:]
+            tokens[i, to_len - len(t):] = t
+            mask[i, to_len - len(t):] = 1
+        return jnp.asarray(tokens), jnp.asarray(mask)
+
+    # -- compiled stages ------------------------------------------------
+
+    def _get_prefill(self, s: int):
+        if s not in self._prefill_fns:
+            mode = self.ecfg.mode
+            spec = self.spec
+            cfg = self.cfg
+            lcomp = self.comp.layer(0)
+
+            @jax.jit
+            def run(params, tokens, mask, prng):
+                positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+                if mode == "simulated":
+                    # Compress the whole prompt KV (fake-quant) before caching.
+                    logits, caches = llama.forward_prefill(
+                        params, cfg, tokens, positions, mask, spec,
+                        compress=False, prng=prng)
+                    def comp_layer(lc):
+                        kc, vc = simulated.compress_kv(
+                            lc.k[:, :, :s].astype(jnp.float32),
+                            lc.v[:, :, :s].astype(jnp.float32),
+                            lcomp, prefill=True)
+                        return lc.replace(
+                            k=lc.k.at[:, :, :s].set(kc.astype(lc.k.dtype)),
+                            v=lc.v.at[:, :, :s].set(vc.astype(lc.v.dtype)))
+                    if lcomp.compress_method != "NONE" and lcomp.streaming:
+                        caches = jax.vmap(comp_layer)(caches)
+                        # Recompute last-token logits from compressed cache?
+                        # Reference recomputes nothing either: compression
+                        # happens inside attention pre-softmax. Close enough
+                        # for the decode-dominated evals; logits come from the
+                        # uncompressed prefill pass (prefill is exact there too
+                        # for the first hook at q_len>1 before compression).
+                    return logits, caches
+                compress = mode == "fused"
+                return llama.forward_prefill(
+                    params, cfg, tokens, positions, mask, spec,
+                    compress=compress, prng=prng)
+
+            self._prefill_fns[s] = run
+        return self._prefill_fns[s]
+
+    def _get_decode(self):
+        if self._decode_fn is None:
+            spec = self.spec
+            cfg = self.cfg
+            mode = self.ecfg.mode
+            temp = self.ecfg.temperature
+
+            @jax.jit
+            def step(params, caches, token, position, pad_start, prng):
+                logits, caches = llama.forward_decode(
+                    params, cfg, token, position, caches,
+                    spec=spec, compress=(mode == "fused"),
+                    pad_start=pad_start, prng=prng)
+                if temp > 0:
+                    next_tok = jax.random.categorical(prng, logits / temp, axis=-1)
+                else:
+                    next_tok = jnp.argmax(logits, axis=-1)
+                return next_tok.astype(jnp.int32), logits, caches
+
+            self._decode_fn = step
+        return self._decode_fn
+
+    def _get_recompress(self):
+        """Simulated-mode sliding-window recompression (stream_grouping)."""
+        if self._recompress_fn is None:
+            lcomp = self.comp.layer(0)
+            gap = lcomp.streaming_gap
+
+            @jax.jit
+            def recompress(caches, end):
+                start = end - gap
+
+                def one_layer(lc):
+                    kw = jax.lax.dynamic_slice_in_dim(lc.k, start, gap, 2)
+                    vw = jax.lax.dynamic_slice_in_dim(lc.v, start, gap, 2)
+                    kc, vc = simulated.compress_kv(
+                        kw.astype(jnp.float32), vw.astype(jnp.float32),
+                        lcomp, prefill=False)
+                    return lc.replace(
+                        k=jax.lax.dynamic_update_slice_in_dim(
+                            lc.k, kc.astype(lc.k.dtype), start, 2),
+                        v=jax.lax.dynamic_update_slice_in_dim(
+                            lc.v, vc.astype(lc.v.dtype), start, 2))
+
+                return jax.vmap(one_layer)(caches)
+
+            self._recompress_fn = recompress
+        return self._recompress_fn
+
+    # -- public API -----------------------------------------------------
+
+    def generate(
+        self,
+        token_lists: list[list[int]],
+        max_new_tokens: int,
+        *,
+        prng: jax.Array | None = None,
+        echo_prompt: bool = False,
+    ) -> list[list[int]]:
+        """Greedy/sampled generation for a batch of prompts.
+
+        Returns generated token ids per row (without the prompt unless
+        ``echo_prompt``); stops early when every row hit eos.
+        """
+        assert len(token_lists) == self.batch, "batch size fixed at engine build"
+        if prng is None:
+            prng = jax.random.PRNGKey(0)
+        s = self.bucket_len(max(len(t) for t in token_lists))
+        tokens, mask = self.left_pad(token_lists, self.ecfg.pad_token_id, s)
+        prefill = self._get_prefill(s)
+        k1, k2 = jax.random.split(prng)
+        logits, caches = prefill(self.params, tokens, mask, k1)
+
+        pad_start = (s - mask.sum(axis=1)).astype(jnp.int32)
+        prompt_len = mask.sum(axis=1).astype(jnp.int32)
+        last_logits = logits[:, -1]
+        if self.ecfg.temperature > 0:
+            cur = jax.random.categorical(
+                k2, last_logits / self.ecfg.temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            cur = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+        decode = self._get_decode()
+        lcomp = self.comp.layer(0)
+        recompress = (
+            self._get_recompress()
+            if self.ecfg.mode == "simulated"
+            and lcomp.streaming
+            and lcomp.compress_method != "NONE"
+            else None
+        )
+
+        eos = self.ecfg.eos_token_id
+        done = jnp.zeros((self.batch,), bool)
+        if eos is not None:
+            done = done | (cur == eos)
+        out = [cur]
+        for step_i in range(max_new_tokens - 1):
+            position = prompt_len + step_i
+            k2, sub = jax.random.split(k2)
+            nxt, _, caches = decode(
+                self.params, caches, cur, position, pad_start, sub)
+            if eos is not None:
+                nxt = jnp.where(done, eos, nxt)
+                done = done | (nxt == eos)
+            out.append(nxt)
+            cur = nxt
+            if recompress is not None and (step_i + 1) % lcomp.streaming_gap == 0:
+                caches = recompress(caches, s + step_i + 1)
+            if eos is not None and (step_i + 1) % self.ecfg.sync_every == 0:
+                if bool(done.all()):
+                    break
+
+        gen = np.stack([np.asarray(t) for t in out], axis=1)  # [B, T]
+        results = []
+        for i in range(self.batch):
+            row = gen[i].tolist()
+            if eos is not None and eos in row:
+                row = row[: row.index(eos) + 1]
+            results.append((token_lists[i] if echo_prompt else []) + row)
+        return results

@@ -1,0 +1,388 @@
+"""Functional JAX Llama-family model with compressed-KV decode.
+
+A from-scratch TPU-first implementation (NOT a fork of HF transformers, unlike
+the reference's vendored model files — reference behavior spec:
+GenerationBench/GenerationTest/GEARLM/Simulated/modeling_llama_new.py and
+cuda_supported_gear/modeling_llamagear.py:177-484).
+
+Design:
+  * params are a plain pytree with all layers STACKED on a leading axis and
+    the layer loop expressed as ``lax.scan`` — one trace/compile regardless
+    of depth, XLA pipelines the weight fetches;
+  * weights stay bf16; attention/quant math accumulates in fp32;
+  * decode attends against the two-tier compressed cache
+    (:mod:`gear_tpu.cache`) or an uncompressed ring for the fp16 baseline;
+  * HF-compatible conventions (rotate-half RoPE, GQA head grouping, RMSNorm,
+    SwiGLU) so checkpoints load without transformation beyond transpose.
+
+Mistral is a config delta of this module (see gear_tpu/models/mistral.py);
+Mixtral adds MoE layers (gear_tpu/models/mixtral.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .. import cache as kvcache
+from ..cache import CacheSpec, LayerCache
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    sliding_window: int | None = None  # Mistral-style; None = full attention
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def tiny(cls, **kw) -> "ModelConfig":
+        """Small config for tests; GQA on by default to exercise grouping."""
+        base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                    max_position_embeddings=512)
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def llama2_7b(cls) -> "ModelConfig":
+        return cls()
+
+    @classmethod
+    def llama2_13b(cls) -> "ModelConfig":
+        return cls(hidden_size=5120, intermediate_size=13824, num_layers=40,
+                   num_heads=40, num_kv_heads=40)
+
+    @classmethod
+    def llama2_70b(cls) -> "ModelConfig":
+        return cls(hidden_size=8192, intermediate_size=28672, num_layers=80,
+                   num_heads=64, num_kv_heads=8)
+
+    @classmethod
+    def llama3_8b(cls) -> "ModelConfig":
+        return cls(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+                   num_layers=32, num_heads=32, num_kv_heads=8,
+                   rope_theta=500000.0, max_position_embeddings=8192)
+
+    @classmethod
+    def from_hf(cls, cfg: dict) -> "ModelConfig":
+        """Build from a HF config.json dict (LlamaConfig/MistralConfig keys)."""
+        num_heads = cfg["num_attention_heads"]
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=num_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", num_heads),
+            head_dim=cfg.get("head_dim", cfg["hidden_size"] // num_heads),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            sliding_window=cfg.get("sliding_window"),
+        )
+
+    def cache_spec(self, batch: int, max_len: int, comp) -> CacheSpec:
+        """CacheSpec for this model from a LayerCompressionConfig."""
+        return CacheSpec(
+            batch=batch,
+            num_kv_heads=self.num_kv_heads,
+            head_dim=self.head_dim,
+            max_len=max_len,
+            bits=comp.quantize_bit,
+            group=comp.group_size,
+            rank=comp.rank,
+            prefill_rank=comp.prefill_rank,
+            lowrank_loop=comp.loop,
+            dtype=self.dtype,
+            sideband_dtype=self.dtype,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
+    """Random init (for tests/benchmarks; real weights via models.loader)."""
+    e, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 10)
+    dt = cfg.dtype
+
+    def init(k, *shape, scale=None):
+        scale = scale or (shape[0] ** -0.5)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    params = {
+        "embed": init(keys[0], cfg.vocab_size, e, scale=0.02),
+        "layers": {
+            "attn_norm": jnp.ones((l, e), dt),
+            "mlp_norm": jnp.ones((l, e), dt),
+            "wq": init(keys[1], l, e, hq * dh, scale=e ** -0.5),
+            "wk": init(keys[2], l, e, hkv * dh, scale=e ** -0.5),
+            "wv": init(keys[3], l, e, hkv * dh, scale=e ** -0.5),
+            "wo": init(keys[4], l, hq * dh, e, scale=(hq * dh) ** -0.5),
+            "wg": init(keys[5], l, e, f, scale=e ** -0.5),
+            "wu": init(keys[6], l, e, f, scale=e ** -0.5),
+            "wd": init(keys[7], l, f, e, scale=f ** -0.5),
+        },
+        "final_norm": jnp.ones((e,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init(keys[8], e, cfg.vocab_size, scale=e ** -0.5)
+    return params
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """cos/sin [B, S, head_dim] for HF rotate-half RoPE."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half * 2))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,S,half]
+    ang = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B,H,S,D]; cos/sin [B,S,D]. HF convention: x*cos + rotate_half(x)*sin."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rotf = rot.astype(jnp.float32)
+    return (xf * cos[:, None] + rotf * sin[:, None]).astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def causal_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    attn_mask: jax.Array | None, sliding_window: int | None = None,
+) -> jax.Array:
+    """Full prefill attention. q [B,Hq,S,D], k/v [B,Hkv,S,D] (GQA grouped),
+    attn_mask [B,S] 1=valid. fp32 softmax."""
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    gq = hq // hkv
+    qg = q.reshape(b, hkv, gq, s, d).astype(jnp.float32)
+    scores = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k.astype(jnp.float32))
+    scores = scores * (d ** -0.5)
+    ii = jnp.arange(s)
+    mask = ii[:, None] >= ii[None, :]
+    if sliding_window is not None:
+        mask = mask & (ii[:, None] - ii[None, :] < sliding_window)
+    mask = mask[None, None, None]
+    if attn_mask is not None:
+        mask = mask & attn_mask[:, None, None, None, :].astype(bool)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1)
+    w = jnp.where(jnp.isnan(w), 0.0, w)  # fully-masked rows (left padding)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", w, v.astype(jnp.float32))
+    return out.reshape(b, hq, s, d).astype(q.dtype)
+
+
+def mlp_block(h, wg, wu, wd):
+    return (jax.nn.silu(h @ wg) * (h @ wu)) @ wd
+
+
+def _layer_slice(layers: dict, idx) -> dict:
+    return {k: v[idx] for k, v in layers.items()}
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def forward_prefill(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,          # [B, S] int32
+    positions: jax.Array,       # [B, S] int32 (left-padding aware)
+    attn_mask: jax.Array,       # [B, S] 1 = valid
+    spec: CacheSpec | None,
+    *,
+    compress: bool = True,
+    prng: jax.Array | None = None,
+) -> tuple[jax.Array, LayerCache | tuple]:
+    """Run the prompt, return (logits [B,S,V], stacked caches).
+
+    When ``spec`` is given and ``compress`` is True, each layer's KV is
+    compressed into a two-tier LayerCache (prefill block at prefill_rank +
+    residual tail). With ``compress=False`` an uncompressed RawLayerCache
+    stack is built instead (the fp16 baseline).
+    """
+    h = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    if prng is None:
+        prng = jax.random.PRNGKey(0)
+    layer_keys = jax.random.split(prng, cfg.num_layers)
+
+    def body(h, xs):
+        lp, lkey = xs
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = causal_attention(q, k, v, attn_mask, cfg.sliding_window)
+        b, s = tokens.shape
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        if spec is None:
+            lc = (k, v)
+        elif compress:
+            lc = kvcache.prefill(spec, k, v, key=lkey)
+        else:
+            lc = raw_prefill(spec, k, v)
+        return h, lc
+
+    h, caches = jax.lax.scan(body, h, (params["layers"], layer_keys))
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    logits = logits_from_hidden(params, cfg, h)
+    return logits, caches
+
+
+def forward_decode(
+    params: dict,
+    cfg: ModelConfig,
+    token: jax.Array,       # [B] int32
+    position: jax.Array,    # [B] int32 — RoPE position of this token
+    caches: LayerCache,
+    *,
+    spec: CacheSpec | None,
+    compress: bool = True,
+    pad_start: jax.Array | None = None,
+    prng: jax.Array | None = None,
+) -> tuple[jax.Array, LayerCache]:
+    """One decode step: append KV, attend against the compressed cache.
+
+    Mirrors the reference decode ordering (cache update then attention over
+    everything including the new token, modeling_llamagear.py:208-384).
+    """
+    b = token.shape[0]
+    h = params["embed"][token].astype(cfg.dtype)[:, None]  # [B,1,E]
+    cos, sin = rope_cos_sin(position[:, None], cfg.head_dim, cfg.rope_theta)
+    if prng is None:
+        prng = jax.random.PRNGKey(0)
+    layer_keys = jax.random.split(prng, cfg.num_layers)
+
+    def body(h, xs):
+        lp, lcache, lkey = xs
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if compress:
+            lcache = kvcache.append(spec, lcache, k, v, key=lkey)
+            attn = kvcache.attend(spec, lcache, q, pad_start=pad_start)
+        else:
+            lcache = raw_append(spec, lcache, k, v)
+            attn = raw_attend(spec, lcache, q, pad_start=pad_start)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, lcache
+
+    h, caches = jax.lax.scan(body, h, (params["layers"], caches, layer_keys))
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    logits = logits_from_hidden(params, cfg, h)
+    return logits[:, 0], caches
+
+
+def logits_from_hidden(params: dict, cfg: ModelConfig, h: jax.Array) -> jax.Array:
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return (h.astype(jnp.float32) @ w.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed baseline cache (fp16/bf16) — for accuracy and speed baselines.
+# ---------------------------------------------------------------------------
+
+from flax import struct  # noqa: E402
+
+
+@struct.dataclass
+class RawLayerCache:
+    k: jax.Array        # [B, H, max_len, D]
+    v: jax.Array
+    length: jax.Array   # int32 scalar
+
+
+def raw_init(spec: CacheSpec) -> RawLayerCache:
+    b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
+    z = jnp.zeros((b, h, spec.max_len, d), spec.dtype)
+    return RawLayerCache(k=z, v=z, length=jnp.zeros((), jnp.int32))
+
+
+def raw_prefill(spec: CacheSpec, k: jax.Array, v: jax.Array) -> RawLayerCache:
+    c = raw_init(spec)
+    s = k.shape[2]
+    return RawLayerCache(
+        k=c.k.at[:, :, :s].set(k.astype(spec.dtype)),
+        v=c.v.at[:, :, :s].set(v.astype(spec.dtype)),
+        length=jnp.int32(s),
+    )
+
+
+def raw_append(spec: CacheSpec, c: RawLayerCache, k_new, v_new) -> RawLayerCache:
+    return RawLayerCache(
+        k=jax.lax.dynamic_update_slice(c.k, k_new.astype(spec.dtype), (0, 0, c.length, 0)),
+        v=jax.lax.dynamic_update_slice(c.v, v_new.astype(spec.dtype), (0, 0, c.length, 0)),
+        length=c.length + k_new.shape[2],
+    )
+
+
+def raw_attend(
+    spec: CacheSpec, c: RawLayerCache, q: jax.Array,
+    *, sm_scale: float | None = None, pad_start: jax.Array | None = None,
+) -> jax.Array:
+    b, hq, qn, d = q.shape
+    hkv = spec.num_kv_heads
+    gq = hq // hkv
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    qg = q.reshape(b, hkv, gq * qn, d).astype(jnp.float32)
+    scores = jnp.einsum("bhqd,bhtd->bhqt", qg, c.k.astype(jnp.float32)) * sm_scale
+    pos = jnp.arange(spec.max_len)
+    valid = (pos < c.length)[None, None, None, :]
+    if pad_start is not None:
+        valid = valid & (pos[None, :] >= pad_start[:, None])[:, None, None, :]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqt,bhtd->bhqd", w, c.v.astype(jnp.float32))
+    return out.reshape(b, hq, qn, d).astype(q.dtype)

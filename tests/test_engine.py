@@ -1,0 +1,119 @@
+"""End-to-end engine tests on a tiny random-init Llama (CPU backend).
+
+The acceptance criterion mirrors the reference's de-facto test: compressed
+generation must track the uncompressed model (survey §4.4), here checked at
+the logits/token level instead of a full GSM8K run.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gear_tpu.config import CompressionConfig
+from gear_tpu.engine import EngineConfig, InferenceEngine
+from gear_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = llama.ModelConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def mk_engine(cfg, params, mode, batch=2, **comp_kw):
+    comp_defaults = dict(num_layers=cfg.num_layers, compress_method="GEARL",
+                         quantize_bit=4, group_size=16, rank=2, prefill_rank=4,
+                         loop=2, left=0.02, streaming_gap=16)
+    comp_defaults.update(comp_kw)
+    comp = CompressionConfig(**comp_defaults)
+    ecfg = EngineConfig(max_len=128, mode=mode, eos_token_id=None)
+    return InferenceEngine(cfg, params, comp, ecfg, batch_size=batch)
+
+
+def test_raw_generation_deterministic(tiny):
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "raw")
+    prompts = [[1, 5, 9, 12], [3, 7]]
+    out1 = eng.generate(prompts, 8)
+    out2 = eng.generate(prompts, 8)
+    assert out1 == out2
+    assert all(len(o) == 8 for o in out1)
+    assert all(0 <= t < cfg.vocab_size for o in out1 for t in o)
+
+
+def test_fused_tracks_raw(tiny):
+    """INT8 fused compression must reproduce the uncompressed greedy tokens
+    on a short horizon (near-lossless at 8-bit)."""
+    cfg, params = tiny
+    prompts = [[1, 5, 9, 12], [3, 7]]
+    raw = mk_engine(cfg, params, "raw").generate(prompts, 12)
+    fused = mk_engine(cfg, params, "fused", quantize_bit=8).generate(prompts, 12)
+    agree = np.mean([a == b for ra, rf in zip(raw, fused) for a, b in zip(ra, rf)])
+    assert agree >= 0.75, f"INT8 fused vs raw agreement {agree}"
+
+
+def test_fused_int4_runs_past_flush(tiny):
+    """Generate enough tokens to cross several flush boundaries."""
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "fused", quantize_bit=4)
+    out = eng.generate([[1, 2, 3], [4, 5, 6]], 40)
+    assert all(len(o) == 40 for o in out)
+
+
+def test_simulated_mode_runs(tiny):
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "simulated", compress_method="GEAR",
+                    quantize_bit=8, group_size=16)
+    out = eng.generate([[1, 2, 3, 4], [9, 8, 7]], 20)
+    assert all(len(o) == 20 for o in out)
+
+
+def test_eos_early_stop(tiny):
+    cfg, params = tiny
+    comp = CompressionConfig(num_layers=cfg.num_layers, compress_method="NONE")
+    # Force eos to whatever the model emits first so rows terminate.
+    eng0 = InferenceEngine(cfg, params, comp,
+                           EngineConfig(max_len=128, mode="raw"), batch_size=1)
+    first = eng0.generate([[1, 2, 3]], 1)[0][0]
+    eng = InferenceEngine(cfg, params, comp,
+                          EngineConfig(max_len=128, mode="raw",
+                                       eos_token_id=int(first), sync_every=4),
+                          batch_size=1)
+    out = eng.generate([[1, 2, 3]], 32)[0]
+    assert out[-1] == int(first)
+    assert len(out) <= 32
+
+
+def test_left_padding_invariance(tiny):
+    """A row's output must not depend on the other rows' lengths (padding)."""
+    cfg, params = tiny
+    eng2 = mk_engine(cfg, params, "raw", batch=2)
+    both = eng2.generate([[1, 5, 9, 12, 14, 2, 8, 4], [3]], 10)
+    comp = CompressionConfig(num_layers=cfg.num_layers, compress_method="NONE")
+    eng1 = InferenceEngine(cfg, params, comp,
+                           EngineConfig(max_len=128, mode="raw"), batch_size=1)
+    solo = eng1.generate([[1, 5, 9, 12, 14, 2, 8, 4]], 10)
+    assert both[0] == solo[0]
+
+
+def test_prefill_logits_match_reference_attention(tiny):
+    """forward_prefill logits equal a plain (unscanned) numpy-checked pass."""
+    cfg, params = tiny
+    tokens = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    mask = jnp.ones_like(tokens)
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    logits, _ = llama.forward_prefill(params, cfg, tokens, positions, mask, None)
+    assert logits.shape == (1, 8, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    # Decode from the raw cache must reproduce the next prefill logits:
+    # run prefill on tokens[:-1], then decode token[-1].
+    spec = cfg.cache_spec(1, 128, CompressionConfig(num_layers=cfg.num_layers).layer(0))
+    logits_head, caches = llama.forward_prefill(
+        params, cfg, tokens[:, :-1], positions[:, :-1], mask[:, :-1], spec,
+        compress=False)
+    step_logits, _ = llama.forward_decode(
+        params, cfg, tokens[:, -1], positions[:, -1], caches,
+        spec=spec, compress=False)
+    np.testing.assert_allclose(
+        np.asarray(step_logits[0]), np.asarray(logits[0, -1]), rtol=2e-2, atol=2e-2)
