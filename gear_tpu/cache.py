@@ -105,7 +105,8 @@ class CacheSpec:
         b, h, d, t = self.batch, self.num_kv_heads, self.head_dim, self.max_len
         el = jnp.dtype(self.sideband_dtype).itemsize
         total = 0
-        total += nbytes((b, h, d, self.k_words), jnp.int32)
+        total += nbytes((b, h, self.n_blocks, d, self.group // self.fpi),
+                        jnp.int32)
         total += 2 * b * h * d * self.n_blocks * el
         total += nbytes((b, h, t, self.v_words), jnp.int32)
         total += 2 * b * h * t * self.v_groups_per_token * el
@@ -123,10 +124,11 @@ class CacheSpec:
 class LayerCache:
     """One layer's compressed KV state. All leaves fixed-shape arrays."""
 
-    # Packed quantized prefix. K is stored TRANSPOSED [B,H,D,*].
-    k_codes: jax.Array   # int32 [B, H, D, max_len // fpi]
-    k_scale: jax.Array   # [B, H, D, n_blocks]
-    k_mn: jax.Array      # [B, H, D, n_blocks]
+    # Packed quantized prefix, block-major K layout (one time-block per
+    # leading index so the Pallas kernel streams [D, group//fpi] tiles).
+    k_codes: jax.Array   # int32 [B, H, n_blocks, D, group // fpi]
+    k_scale: jax.Array   # [B, H, n_blocks, D]
+    k_mn: jax.Array      # [B, H, n_blocks, D]
     v_codes: jax.Array   # int32 [B, H, max_len, head_dim // fpi]
     v_scale: jax.Array   # [B, H, max_len, v_groups_per_token]
     v_mn: jax.Array      # [B, H, max_len, v_groups_per_token]
@@ -151,9 +153,10 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
     b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
     sb = spec.sideband_dtype
     return LayerCache(
-        k_codes=jnp.zeros((b, h, d, spec.k_words), jnp.int32),
-        k_scale=jnp.zeros((b, h, d, spec.n_blocks), sb),
-        k_mn=jnp.zeros((b, h, d, spec.n_blocks), sb),
+        k_codes=jnp.zeros((b, h, spec.n_blocks, d, spec.group // spec.fpi),
+                          jnp.int32),
+        k_scale=jnp.zeros((b, h, spec.n_blocks, d), sb),
+        k_mn=jnp.zeros((b, h, spec.n_blocks, d), sb),
         v_codes=jnp.zeros((b, h, spec.max_len, spec.v_words), jnp.int32),
         v_scale=jnp.zeros((b, h, spec.max_len, spec.v_groups_per_token), sb),
         v_mn=jnp.zeros((b, h, spec.max_len, spec.v_groups_per_token), sb),
@@ -173,15 +176,24 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
 # ---------------------------------------------------------------------------
 
 def _compress_k_block(spec: CacheSpec, k: jax.Array):
-    """K block [B,H,S,D] -> per-channel codes packed along time.
+    """K block [B,H,S,D] -> per-channel codes, block-major packed layout.
 
-    Each channel's S tokens are quantized in time-groups of ``spec.group``.
-    Returns (packed int32 [B,H,D,S//fpi], scale [B,H,D,S//group], mn).
+    Each channel's S tokens are quantized in time-groups of ``spec.group``,
+    packed block-locally (strided lanes) so the decode kernel unpacks one
+    time-block independently.
+    Returns (packed int32 [B,H,NBs,D,group//fpi], scale/mn [B,H,NBs,D]).
     """
+    b, h, s_len, d = k.shape
+    g = spec.group
+    nbs = s_len // g
     kt = jnp.swapaxes(k, -1, -2)  # [B,H,D,S]
-    codes, scale, mn = quant.quantize_groups(kt, spec.bits, spec.group)
-    packed = quant.pack_codes(codes, spec.bits)
-    return packed, scale.astype(spec.sideband_dtype), mn.astype(spec.sideband_dtype)
+    codes, scale, mn = quant.quantize_groups(kt, spec.bits, g)
+    codes = codes.reshape(b, h, d, nbs, g).transpose(0, 1, 3, 2, 4)
+    packed = quant.pack_codes_strided(codes, spec.bits)  # [B,H,NBs,D,WG]
+    scale = jnp.swapaxes(scale, -1, -2)  # [B,H,NBs,D]
+    mn = jnp.swapaxes(mn, -1, -2)
+    return (packed, scale.astype(spec.sideband_dtype),
+            mn.astype(spec.sideband_dtype))
 
 
 def _compress_v_block(spec: CacheSpec, v: jax.Array):
@@ -190,21 +202,21 @@ def _compress_v_block(spec: CacheSpec, v: jax.Array):
     Returns (packed int32 [B,H,S,D//fpi], scale [B,H,S,D//v_group], mn).
     """
     codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
-    packed = quant.pack_codes(codes, spec.bits)
+    packed = quant.pack_codes_strided(codes, spec.bits)
     return packed, scale.astype(spec.sideband_dtype), mn.astype(spec.sideband_dtype)
 
 
 def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
     """Inverse of _compress_k_block -> [B,H,S,D]."""
-    codes = quant.unpack_codes(packed, spec.bits)
-    kt = quant.dequantize_groups(
-        codes, scale.astype(jnp.float32), mn.astype(jnp.float32), spec.group
-    )
-    return jnp.swapaxes(kt, -1, -2)
+    b, h, nbs, d, _ = packed.shape
+    codes = quant.unpack_codes_strided(packed, spec.bits)  # [B,H,NBs,D,G]
+    x = (codes.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]
+         + mn.astype(jnp.float32)[..., None])
+    return x.transpose(0, 1, 2, 4, 3).reshape(b, h, nbs * spec.group, d)
 
 
 def _dequant_v_block(spec: CacheSpec, packed, scale, mn):
-    codes = quant.unpack_codes(packed, spec.bits)
+    codes = quant.unpack_codes_strided(packed, spec.bits)
     return quant.dequantize_groups(
         codes, scale.astype(jnp.float32), mn.astype(jnp.float32), spec.v_group
     )
@@ -249,10 +261,11 @@ def prefill(
         kb, vb = k[:, :, :n_full], v[:, :, :n_full]
         k_pack, k_scale, k_mn = _compress_k_block(spec, kb)
         v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
+        nbs = n_full // g
         cache = cache.replace(
-            k_codes=cache.k_codes.at[..., : n_full // spec.fpi].set(k_pack),
-            k_scale=cache.k_scale.at[..., : n_full // g].set(k_scale),
-            k_mn=cache.k_mn.at[..., : n_full // g].set(k_mn),
+            k_codes=cache.k_codes.at[:, :, :nbs].set(k_pack),
+            k_scale=cache.k_scale.at[:, :, :nbs].set(k_scale),
+            k_mn=cache.k_mn.at[:, :, :nbs].set(k_mn),
             v_codes=cache.v_codes.at[:, :, :n_full].set(v_pack),
             v_scale=cache.v_scale.at[:, :, :n_full].set(v_scale),
             v_mn=cache.v_mn.at[:, :, :n_full].set(v_mn),
@@ -296,21 +309,20 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
     g = spec.group
     kb = cache.k_resid.astype(jnp.float32)
     vb = cache.v_resid.astype(jnp.float32)
-    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,D,g//fpi],[B,H,D,1]
+    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,1,D,WG],[B,H,1,D]
     v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
 
     blk = cache.comp_len // g
-    word0 = cache.comp_len // spec.fpi
     b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
 
     upd = dict(
         k_codes=jax.lax.dynamic_update_slice(
-            cache.k_codes, k_pack, (0, 0, 0, word0)
+            cache.k_codes, k_pack, (0, 0, blk, 0, 0)
         ),
         k_scale=jax.lax.dynamic_update_slice(
-            cache.k_scale, k_scale, (0, 0, 0, blk)
+            cache.k_scale, k_scale, (0, 0, blk, 0)
         ),
-        k_mn=jax.lax.dynamic_update_slice(cache.k_mn, k_mn, (0, 0, 0, blk)),
+        k_mn=jax.lax.dynamic_update_slice(cache.k_mn, k_mn, (0, 0, blk, 0)),
         v_codes=jax.lax.dynamic_update_slice(
             cache.v_codes, v_pack, (0, 0, cache.comp_len, 0)
         ),
@@ -429,7 +441,7 @@ def attend(
 
     # --- scores: packed prefix ---
     k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
-    scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)
+    scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)  # k_deq [B,H,T,D]
     # low-rank correction: q·P per block, dotted with per-token Q rows
     kp = cache.kp.astype(jnp.float32)
     kq = cache.kq.reshape(b, hkv, nb, g, r).astype(jnp.float32)

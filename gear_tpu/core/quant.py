@@ -134,6 +134,42 @@ def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
     return codes.reshape(*packed.shape[:-1], packed.shape[-1] * fpi).astype(jnp.int32)
 
 
+def pack_codes_strided(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack with STRIDED lane layout: word w holds codes {j*W + w | j} at bit
+    position j*bits, where W = n // (32/bits).
+
+    This is the TPU-native layout used by the compressed cache: in-kernel
+    unpack is then ``concat_j((word >> j*bits) & mask)`` which restores exact
+    element order with lane-wide shifts only (no transposes). The reference's
+    consecutive little-endian layout (:func:`pack_codes`) is kept for parity.
+    """
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be one of 2, 4, 8")
+    fpi = 32 // bits
+    n = codes.shape[-1]
+    if n % fpi != 0:
+        raise ValueError(f"last dim {n} not divisible by {fpi}")
+    w = n // fpi
+    c = codes.astype(jnp.uint32).reshape(*codes.shape[:-1], fpi, w)
+    shifts = (jnp.arange(fpi, dtype=jnp.uint32) * bits)[
+        (None,) * (codes.ndim - 1) + (slice(None), None)
+    ]
+    word = jnp.sum(c << shifts, axis=-2)  # disjoint bit fields: sum == or
+    return word.astype(jnp.int32)
+
+
+def unpack_codes_strided(packed: jax.Array, bits: int) -> jax.Array:
+    """Inverse of :func:`pack_codes_strided` -> int32 codes [..., W * fpi]."""
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be one of 2, 4, 8")
+    fpi = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    w = packed.astype(jnp.uint32)
+    parts = [(w >> jnp.uint32(j * bits)) & mask for j in range(fpi)]
+    out = jnp.concatenate(parts, axis=-1)
+    return out.astype(jnp.int32)
+
+
 def quantize_and_pack(
     x: jax.Array, bits: int, group_size: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -1,0 +1,99 @@
+"""Pallas fused decode kernel vs the XLA reference attention (interpret mode).
+
+The acceptance contract mirrors the reference's kernel tests
+(cuda_supported_gear/quant/gemv.py:93-165: fused kernel vs attention over the
+dequantized cache) with asserted tolerances.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gear_tpu import cache as C
+from gear_tpu.kernels import decode as K
+
+
+def mk_spec(**kw):
+    base = dict(batch=2, num_kv_heads=2, head_dim=128, max_len=256, bits=4,
+                group=64, rank=2, prefill_rank=4, lowrank_loop=3,
+                dtype=jnp.float32, sideband_dtype=jnp.float32)
+    base.update(kw)
+    return C.CacheSpec(**base)
+
+
+def rand_cache(rng, spec, s):
+    shape = (spec.batch, spec.num_kv_heads, s, spec.head_dim)
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    return C.prefill(spec, k, v)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_kernel_matches_xla_attend(rng, bits):
+    spec = mk_spec(bits=bits)
+    cache = rand_cache(rng, spec, 256)
+    hq = 4
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, hq, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_with_residual_tier(rng):
+    spec = mk_spec()
+    cache = rand_cache(rng, spec, 192 + 17)  # 192 compressed + 17 residual
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_partial_prefix(rng):
+    """comp_len < max_len: out-of-range blocks must be skipped."""
+    spec = mk_spec()
+    cache = rand_cache(rng, spec, 128)  # half capacity
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_pad_start(rng):
+    spec = mk_spec()
+    cache = rand_cache(rng, spec, 256)
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    pad = jnp.asarray([0, 70], jnp.int32)  # row 1 masks the first 70 tokens
+    want = C.attend(spec, cache, q, pad_start=pad)
+    got = K.attend_fused(spec, cache, q, pad_start=pad, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_gqa(rng):
+    spec = mk_spec(num_kv_heads=2)
+    cache = rand_cache(rng, spec, 128)
+    hq = 8  # 4 query heads per kv head
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, hq, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_empty_residual_after_flush(rng):
+    """resid_len == 0 (right after a flush) must not produce NaNs."""
+    spec = mk_spec()
+    cache = rand_cache(rng, spec, 128)
+    assert int(cache.resid_len) == 0
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
