@@ -105,8 +105,7 @@ class CacheSpec:
         b, h, d, t = self.batch, self.num_kv_heads, self.head_dim, self.max_len
         el = jnp.dtype(self.sideband_dtype).itemsize
         total = 0
-        total += nbytes((b, h, self.n_blocks, d, self.group // self.fpi),
-                        jnp.int32)
+        total += nbytes((b, h, t, self.v_words), jnp.int32)
         total += 2 * b * h * d * self.n_blocks * el
         total += nbytes((b, h, t, self.v_words), jnp.int32)
         total += 2 * b * h * t * self.v_groups_per_token * el
@@ -124,22 +123,28 @@ class CacheSpec:
 class LayerCache:
     """One layer's compressed KV state. All leaves fixed-shape arrays."""
 
-    # Packed quantized prefix, block-major K layout (one time-block per
-    # leading index so the Pallas kernel streams [D, group//fpi] tiles).
-    k_codes: jax.Array   # int32 [B, H, n_blocks, D, group // fpi]
+    # Packed quantized prefix. BOTH K and V codes are bit-packed along the
+    # head dim and stored WORD-MAJOR TRANSPOSED: [D/fpi, T] int32 — time in
+    # lanes, so the Pallas kernel's unpack is full-lane shifts + a sublane
+    # concat. Only the SCALE GROUPING differs: K per (time-block, channel),
+    # V per (token, d-group, also stored transposed [NGV, T]). The packing
+    # dim is deliberately decoupled from the quantization-grouping dim.
+    k_codes: jax.Array   # int32 [B, H, head_dim // fpi, max_len]
     k_scale: jax.Array   # [B, H, n_blocks, D]
     k_mn: jax.Array      # [B, H, n_blocks, D]
-    v_codes: jax.Array   # int32 [B, H, max_len, head_dim // fpi]
-    v_scale: jax.Array   # [B, H, max_len, v_groups_per_token]
-    v_mn: jax.Array      # [B, H, max_len, v_groups_per_token]
+    v_codes: jax.Array   # int32 [B, H, head_dim // fpi, max_len]
+    v_scale: jax.Array   # [B, H, v_groups_per_token, max_len]
+    v_mn: jax.Array      # [B, H, v_groups_per_token, max_len]
     # Residual (uncompressed) tier.
     k_resid: jax.Array   # [B, H, group, head_dim]
     v_resid: jax.Array   # [B, H, group, head_dim]
-    # Low-rank error bases, per time-block.
+    # Low-rank error bases, per time-block. Q factors stored TRANSPOSED
+    # ([R, T]) and V's P factor row-major per rank ([NB, R, D]) so the
+    # kernel reads full-lane tiles.
     kp: jax.Array        # [B, H, n_blocks, head_dim, r_store]
-    kq: jax.Array        # [B, H, max_len, r_store]
-    vp: jax.Array        # [B, H, n_blocks, head_dim, r_store]
-    vq: jax.Array        # [B, H, max_len, r_store]
+    kqt: jax.Array       # [B, H, r_store, max_len]
+    vpt: jax.Array       # [B, H, n_blocks, r_store, head_dim]
+    vqt: jax.Array       # [B, H, r_store, max_len]
     # Lengths (tokens). comp_len is always a multiple of group.
     comp_len: jax.Array  # int32 scalar
     resid_len: jax.Array  # int32 scalar
@@ -153,19 +158,18 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
     b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
     sb = spec.sideband_dtype
     return LayerCache(
-        k_codes=jnp.zeros((b, h, spec.n_blocks, d, spec.group // spec.fpi),
-                          jnp.int32),
+        k_codes=jnp.zeros((b, h, spec.v_words, spec.max_len), jnp.int32),
         k_scale=jnp.zeros((b, h, spec.n_blocks, d), sb),
         k_mn=jnp.zeros((b, h, spec.n_blocks, d), sb),
-        v_codes=jnp.zeros((b, h, spec.max_len, spec.v_words), jnp.int32),
-        v_scale=jnp.zeros((b, h, spec.max_len, spec.v_groups_per_token), sb),
-        v_mn=jnp.zeros((b, h, spec.max_len, spec.v_groups_per_token), sb),
+        v_codes=jnp.zeros((b, h, spec.v_words, spec.max_len), jnp.int32),
+        v_scale=jnp.zeros((b, h, spec.v_groups_per_token, spec.max_len), sb),
+        v_mn=jnp.zeros((b, h, spec.v_groups_per_token, spec.max_len), sb),
         k_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
         v_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
         kp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), spec.dtype),
-        kq=jnp.zeros((b, h, spec.max_len, spec.r_store), spec.dtype),
-        vp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), spec.dtype),
-        vq=jnp.zeros((b, h, spec.max_len, spec.r_store), spec.dtype),
+        kqt=jnp.zeros((b, h, spec.r_store, spec.max_len), spec.dtype),
+        vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), spec.dtype),
+        vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), spec.dtype),
         comp_len=jnp.zeros((), jnp.int32),
         resid_len=jnp.zeros((), jnp.int32),
     )
@@ -176,49 +180,61 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
 # ---------------------------------------------------------------------------
 
 def _compress_k_block(spec: CacheSpec, k: jax.Array):
-    """K block [B,H,S,D] -> per-channel codes, block-major packed layout.
+    """K block [B,H,S,D] -> per-channel quant (groups along time), codes
+    token-major and packed along the head dim.
 
-    Each channel's S tokens are quantized in time-groups of ``spec.group``,
-    packed block-locally (strided lanes) so the decode kernel unpacks one
-    time-block independently.
-    Returns (packed int32 [B,H,NBs,D,group//fpi], scale/mn [B,H,NBs,D]).
+    Quantization runs directly on the time-grouped view (no transposes):
+    min/max over each ``group``-token window per channel.
+    Returns (packed int32 [B,H,S,D//fpi], scale/mn [B,H,S//group,D]).
     """
     b, h, s_len, d = k.shape
     g = spec.group
     nbs = s_len // g
-    kt = jnp.swapaxes(k, -1, -2)  # [B,H,D,S]
-    codes, scale, mn = quant.quantize_groups(kt, spec.bits, g)
-    codes = codes.reshape(b, h, d, nbs, g).transpose(0, 1, 3, 2, 4)
-    packed = quant.pack_codes_strided(codes, spec.bits)  # [B,H,NBs,D,WG]
-    scale = jnp.swapaxes(scale, -1, -2)  # [B,H,NBs,D]
-    mn = jnp.swapaxes(mn, -1, -2)
+    levels = (1 << spec.bits) - 1
+    kg = k.astype(jnp.float32).reshape(b, h, nbs, g, d)
+    mn = jnp.min(kg, axis=3)            # [B,H,NBs,D]
+    mx = jnp.max(kg, axis=3)
+    scale = (mx - mn) / levels
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    codes = jnp.clip(
+        jnp.round((kg - mn[:, :, :, None]) / safe[:, :, :, None]), 0, levels
+    ).astype(jnp.int32).reshape(b, h, s_len, d)
+    packed = quant.pack_codes_strided(codes, spec.bits)  # [B,H,S,WD]
+    packed = jnp.swapaxes(packed, -1, -2)                # [B,H,WD,S]
     return (packed, scale.astype(spec.sideband_dtype),
             mn.astype(spec.sideband_dtype))
 
 
 def _compress_v_block(spec: CacheSpec, v: jax.Array):
-    """V block [B,H,S,D] -> per-token codes packed along head dim.
+    """V block [B,H,S,D] -> per-token codes packed along head dim,
+    stored word-major transposed.
 
-    Returns (packed int32 [B,H,S,D//fpi], scale [B,H,S,D//v_group], mn).
+    Returns (packed int32 [B,H,D//fpi,S], scale [B,H,D//v_group,S], mn).
     """
     codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
-    packed = quant.pack_codes_strided(codes, spec.bits)
-    return packed, scale.astype(spec.sideband_dtype), mn.astype(spec.sideband_dtype)
+    packed = jnp.swapaxes(quant.pack_codes_strided(codes, spec.bits), -1, -2)
+    return (packed, jnp.swapaxes(scale, -1, -2).astype(spec.sideband_dtype),
+            jnp.swapaxes(mn, -1, -2).astype(spec.sideband_dtype))
 
 
 def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
     """Inverse of _compress_k_block -> [B,H,S,D]."""
-    b, h, nbs, d, _ = packed.shape
-    codes = quant.unpack_codes_strided(packed, spec.bits)  # [B,H,NBs,D,G]
-    x = (codes.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]
-         + mn.astype(jnp.float32)[..., None])
-    return x.transpose(0, 1, 2, 4, 3).reshape(b, h, nbs * spec.group, d)
+    b, h, _, s_len = packed.shape
+    nbs = s_len // spec.group
+    codes = quant.unpack_codes_strided(
+        jnp.swapaxes(packed, -1, -2), spec.bits)  # [B,H,S,D]
+    d = codes.shape[-1]
+    cg = codes.astype(jnp.float32).reshape(b, h, nbs, spec.group, d)
+    x = (cg * scale.astype(jnp.float32)[:, :, :, None]
+         + mn.astype(jnp.float32)[:, :, :, None])
+    return x.reshape(b, h, s_len, d)
 
 
 def _dequant_v_block(spec: CacheSpec, packed, scale, mn):
-    codes = quant.unpack_codes_strided(packed, spec.bits)
+    codes = quant.unpack_codes_strided(jnp.swapaxes(packed, -1, -2), spec.bits)
     return quant.dequantize_groups(
-        codes, scale.astype(jnp.float32), mn.astype(jnp.float32), spec.v_group
+        codes, jnp.swapaxes(scale, -1, -2).astype(jnp.float32),
+        jnp.swapaxes(mn, -1, -2).astype(jnp.float32), spec.v_group
     )
 
 
@@ -233,7 +249,8 @@ def _error_bases(spec: CacheSpec, x, x_hat, rank: int, key):
     if pad:
         p = jnp.pad(p, ((0, 0),) * (p.ndim - 1) + ((0, pad),))
         q = jnp.pad(q, ((0, 0),) * (q.ndim - 1) + ((0, pad),))
-    return p.astype(spec.dtype), q.astype(spec.dtype)
+    # Q returned TRANSPOSED [..., r_store, S] for the lane-major cache layout.
+    return p.astype(spec.dtype), jnp.swapaxes(q, -1, -2).astype(spec.dtype)
 
 
 def prefill(
@@ -263,27 +280,27 @@ def prefill(
         v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
         nbs = n_full // g
         cache = cache.replace(
-            k_codes=cache.k_codes.at[:, :, :nbs].set(k_pack),
+            k_codes=cache.k_codes.at[:, :, :, :n_full].set(k_pack),
             k_scale=cache.k_scale.at[:, :, :nbs].set(k_scale),
             k_mn=cache.k_mn.at[:, :, :nbs].set(k_mn),
-            v_codes=cache.v_codes.at[:, :, :n_full].set(v_pack),
-            v_scale=cache.v_scale.at[:, :, :n_full].set(v_scale),
-            v_mn=cache.v_mn.at[:, :, :n_full].set(v_mn),
+            v_codes=cache.v_codes.at[:, :, :, :n_full].set(v_pack),
+            v_scale=cache.v_scale.at[:, :, :, :n_full].set(v_scale),
+            v_mn=cache.v_mn.at[:, :, :, :n_full].set(v_mn),
             comp_len=jnp.int32(n_full),
         )
         if use_lowrank and spec.prefill_rank > 0:
             kk, kv = jax.random.split(key)
             k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
             v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
-            kp1, kq1 = _error_bases(spec, kb, k_hat, spec.prefill_rank, kk)
-            vp1, vq1 = _error_bases(spec, vb, v_hat, spec.prefill_rank, kv)
-            nb = n_full // g
-            # Replicate the prefill P across its blocks; Q rows go in place.
+            kp1, kqt1 = _error_bases(spec, kb, k_hat, spec.prefill_rank, kk)
+            vp1, vqt1 = _error_bases(spec, vb, v_hat, spec.prefill_rank, kv)
+            # Replicate the prefill P across its blocks; Q columns in place.
+            vpt1 = jnp.swapaxes(vp1, -1, -2)  # [B,H,R,D]
             cache = cache.replace(
-                kp=cache.kp.at[:, :, :nb].set(kp1[:, :, None].repeat(nb, 2)),
-                kq=cache.kq.at[:, :, :n_full].set(kq1),
-                vp=cache.vp.at[:, :, :nb].set(vp1[:, :, None].repeat(nb, 2)),
-                vq=cache.vq.at[:, :, :n_full].set(vq1),
+                kp=cache.kp.at[:, :, :nbs].set(kp1[:, :, None].repeat(nbs, 2)),
+                kqt=cache.kqt.at[:, :, :, :n_full].set(kqt1),
+                vpt=cache.vpt.at[:, :, :nbs].set(vpt1[:, :, None].repeat(nbs, 2)),
+                vqt=cache.vqt.at[:, :, :, :n_full].set(vqt1),
             )
 
     tail = s - n_full
@@ -309,7 +326,7 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
     g = spec.group
     kb = cache.k_resid.astype(jnp.float32)
     vb = cache.v_resid.astype(jnp.float32)
-    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,1,D,WG],[B,H,1,D]
+    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,g,WD],[B,H,1,D]
     v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
 
     blk = cache.comp_len // g
@@ -317,20 +334,20 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
 
     upd = dict(
         k_codes=jax.lax.dynamic_update_slice(
-            cache.k_codes, k_pack, (0, 0, blk, 0, 0)
+            cache.k_codes, k_pack, (0, 0, 0, cache.comp_len)
         ),
         k_scale=jax.lax.dynamic_update_slice(
             cache.k_scale, k_scale, (0, 0, blk, 0)
         ),
         k_mn=jax.lax.dynamic_update_slice(cache.k_mn, k_mn, (0, 0, blk, 0)),
         v_codes=jax.lax.dynamic_update_slice(
-            cache.v_codes, v_pack, (0, 0, cache.comp_len, 0)
+            cache.v_codes, v_pack, (0, 0, 0, cache.comp_len)
         ),
         v_scale=jax.lax.dynamic_update_slice(
-            cache.v_scale, v_scale, (0, 0, cache.comp_len, 0)
+            cache.v_scale, v_scale, (0, 0, 0, cache.comp_len)
         ),
         v_mn=jax.lax.dynamic_update_slice(
-            cache.v_mn, v_mn, (0, 0, cache.comp_len, 0)
+            cache.v_mn, v_mn, (0, 0, 0, cache.comp_len)
         ),
         comp_len=cache.comp_len + g,
         resid_len=jnp.int32(0),
@@ -339,17 +356,20 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
         kk, kv = jax.random.split(jax.random.fold_in(key, 0))
         k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
         v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
-        kp1, kq1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
-        vp1, vq1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
+        kp1, kqt1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
+        vp1, vqt1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
         upd.update(
             kp=jax.lax.dynamic_update_slice(
                 cache.kp, kp1[:, :, None], (0, 0, blk, 0, 0)
             ),
-            kq=jax.lax.dynamic_update_slice(cache.kq, kq1, (0, 0, cache.comp_len, 0)),
-            vp=jax.lax.dynamic_update_slice(
-                cache.vp, vp1[:, :, None], (0, 0, blk, 0, 0)
+            kqt=jax.lax.dynamic_update_slice(
+                cache.kqt, kqt1, (0, 0, 0, cache.comp_len)),
+            vpt=jax.lax.dynamic_update_slice(
+                cache.vpt, jnp.swapaxes(vp1, -1, -2)[:, :, None],
+                (0, 0, blk, 0, 0)
             ),
-            vq=jax.lax.dynamic_update_slice(cache.vq, vq1, (0, 0, cache.comp_len, 0)),
+            vqt=jax.lax.dynamic_update_slice(
+                cache.vqt, vqt1, (0, 0, 0, cache.comp_len)),
         )
     return cache.replace(**upd)
 
@@ -400,10 +420,10 @@ def dequantize_kv(spec: CacheSpec, cache: LayerCache):
     v = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
     b, h = spec.batch, spec.num_kv_heads
     nb, g, r = spec.n_blocks, spec.group, spec.r_store
-    kq = cache.kq.reshape(b, h, nb, g, r).astype(jnp.float32)
-    vq = cache.vq.reshape(b, h, nb, g, r).astype(jnp.float32)
-    k_corr = jnp.einsum("bhngr,bhndr->bhngd", kq, cache.kp.astype(jnp.float32))
-    v_corr = jnp.einsum("bhngr,bhndr->bhngd", vq, cache.vp.astype(jnp.float32))
+    kqt = cache.kqt.reshape(b, h, r, nb, g).astype(jnp.float32)
+    vqt = cache.vqt.reshape(b, h, r, nb, g).astype(jnp.float32)
+    k_corr = jnp.einsum("bhrng,bhndr->bhngd", kqt, cache.kp.astype(jnp.float32))
+    v_corr = jnp.einsum("bhrng,bhnrd->bhngd", vqt, cache.vpt.astype(jnp.float32))
     k = k + k_corr.reshape(k.shape)
     v = v + v_corr.reshape(v.shape)
     return k, v
@@ -442,11 +462,11 @@ def attend(
     # --- scores: packed prefix ---
     k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
     scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)  # k_deq [B,H,T,D]
-    # low-rank correction: q·P per block, dotted with per-token Q rows
+    # low-rank correction: q·P per block, dotted with per-token Q columns
     kp = cache.kp.astype(jnp.float32)
-    kq = cache.kq.reshape(b, hkv, nb, g, r).astype(jnp.float32)
+    kqt = cache.kqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
     qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
-    scores_lr = jnp.einsum("bhqnr,bhngr->bhqng", qp, kq).reshape(b, hkv, gq * qn, t)
+    scores_lr = jnp.einsum("bhqnr,bhrng->bhqng", qp, kqt).reshape(b, hkv, gq * qn, t)
     # residual tier
     kr = cache.k_resid.astype(jnp.float32)
     scores_res = jnp.einsum("bhqd,bhrd->bhqr", qf, kr)
@@ -470,10 +490,10 @@ def attend(
     # --- PV: packed prefix ---
     v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
     out = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
-    vp = cache.vp.astype(jnp.float32)
-    vq = cache.vq.reshape(b, hkv, nb, g, r).astype(jnp.float32)
-    wv = jnp.einsum("bhqng,bhngr->bhqnr", wc.reshape(b, hkv, gq * qn, nb, g), vq)
-    out = out + jnp.einsum("bhqnr,bhndr->bhqd", wv, vp)
+    vpt = cache.vpt.astype(jnp.float32)
+    vqt = cache.vqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    wv = jnp.einsum("bhqng,bhrng->bhqnr", wc.reshape(b, hkv, gq * qn, nb, g), vqt)
+    out = out + jnp.einsum("bhqnr,bhnrd->bhqd", wv, vpt)
     out = out + jnp.einsum("bhqr,bhrd->bhqd", wr, cache.v_resid.astype(jnp.float32))
 
     return out.reshape(b, hq, qn, d).astype(q.dtype)

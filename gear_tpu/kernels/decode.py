@@ -1,28 +1,30 @@
-"""Pallas TPU kernel: fused compressed-KV decode attention.
+"""Pallas TPU kernel: fused compressed-KV decode attention (v2, lane-major).
 
 Replaces the reference's CUDA ``bgemv4/bgemv2_kernel_outer_dim``
 (cuda_supported_gear/quant/csrc/gemv_cuda.cu:264-434) and its out-of-kernel
 low-rank correction (modeling_llamagear.py:54-111) with ONE kernel that
-streams the packed int32 codes from HBM and performs, per time-chunk, in VMEM:
+streams the packed int32 codes from HBM and, per 1024-token chunk in VMEM:
 
-  unpack (shift/mask on strided lanes) -> scale-folded score matmul
-  (exact: ``(q*scale) @ codes + q.mn``) -> low-rank score correction
-  (``qp @ kq^T``) -> online softmax -> scale-folded PV matmul
-  -> low-rank output correction (``(p@vq) @ vp^T``)
+  unpack (shift/mask on full-lane [chunk, D] tiles) -> dequant via
+  expander-matmul scale/min expansion -> one QK^T matmul -> low-rank score
+  correction -> online softmax -> one PV matmul -> low-rank PV correction
 
 so dequantization + error reconstruction + QK^T/PV happen in one HBM pass
 (BASELINE north star). The tiny residual tier and the cross-tier softmax
 merge run in XLA (:func:`attend_fused`).
 
-Layouts (see gear_tpu.cache):
-  K codes [BH, NB, D, group//fpi] int32, block-major, block-local strided
-  packing along time; V codes [BH, T, D//fpi] int32, strided along head dim;
-  K scale/mn per (time-block, channel); V scale/mn per (token, d-group).
+Layout (see gear_tpu.cache): K and V codes are bit-packed along the head
+dim and stored word-major TRANSPOSED ([D/fpi, T] int32, time in lanes) — the
+packing dim is decoupled from the quantization-grouping dim, so unpack is
+full-lane shifts + a sublane concat producing channel-major [D, chunk]
+tiles. K scales per (time-block, channel) [NB, D] expand to [D, chunk] with
+a one-hot block-expander matmul; V scales per (token, d-group) [NGV, T]
+expand by sublane broadcast. All matmuls run in bf16 with f32 accumulation
+(codes <= 255 are exact in bf16). Low-rank Q factors are stored transposed
+[R, T]; V's P factor as [NB, R, D].
 
-Grid is (BH, NB // blocks_per_chunk): each step handles ``blocks_per_chunk``
-quant groups (default 8 groups = 512 tokens) to amortize per-step pipeline
-overhead; flash-style accumulators live in VMEM scratch. Chunks beyond
-comp_len are predicated off; partial chunks are masked per token.
+Grid is (BH, T // chunk) with flash accumulators in VMEM scratch. Chunks
+beyond comp_len are predicated off; partial chunks are masked per token.
 """
 from __future__ import annotations
 
@@ -38,31 +40,43 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VAL = -1e30
 
 
-def _unpack_strided(words_u32, bits: int):
-    """[..., W] uint32 -> [..., W * fpi] codes (lane-order identity)."""
+def _unpack_words_t(words_t, bits: int):
+    """[WD, chunk] int32 words -> [D, chunk] bf16 codes, channel-major.
+
+    Under the strided packing, bit-field j of word row w is channel
+    ``j * WD + w``, so a SUBLANE concat of the shifted parts restores exact
+    channel order — every op runs on full-lane tiles.
+    """
     fpi = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
-    parts = [(words_u32 >> jnp.uint32(j * bits)) & mask for j in range(fpi)]
-    # Mosaic supports uint32->int32 but not uint32->float; go via int32
-    # (values fit in [0, 255]).
-    return jnp.concatenate(parts, axis=-1).astype(jnp.int32)
+    w = words_t.astype(jnp.uint32)
+    parts = [
+        ((w >> jnp.uint32(j * bits)) & mask).astype(jnp.int32)
+        for j in range(fpi)
+    ]
+    return jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _decode_kernel(
     # scalar prefetch
     comp_len_ref, pad_start_ref,
     # inputs (VMEM blocks)
-    q_ref,        # [1, GQ, D]      f32 (sm_scale folded in)
-    qp_ref,       # [1, CB, GQ, R]  f32 (sm_scale folded in)
-    kcodes_ref,   # [1, CB, D, WG]  int32  (WG = group // fpi)
-    kscale_ref,   # [1, CB, 1, D]   sideband dtype
-    kmn_ref,      # [1, CB, 1, D]
-    kq_ref,       # [1, CB*G, R]
-    vcodes_ref,   # [1, CB*G, WD]   int32  (WD = D // fpi)
-    vscale_ref,   # [1, CB*G, NGV]
-    vmn_ref,      # [1, CB*G, NGV]
-    vq_ref,       # [1, CB*G, R]
-    vp_ref,       # [1, CB, D, R]
+    q_ref,        # [1, GQ, D]        f32 (sm_scale folded in)
+    qp_ref,       # [1, CB, R, GQ]    f32 (sm_scale folded in)
+    kcodes_ref,   # [1, WD, CHUNK]    int32  (WD = D // fpi)
+    kscale_ref,   # [1, CB, D]        sideband dtype
+    kmn_ref,      # [1, CB, D]
+    kqt_ref,      # [1, R, CHUNK]
+    vcodes_ref,   # [1, WD, CHUNK]    int32
+    vscale_ref,   # [1, NGV, CHUNK]
+    vmn_ref,      # [1, NGV, CHUNK]
+    vqt_ref,      # [1, R, CHUNK]
+    vpt_ref,      # [1, CB, R, D]
     # outputs
     acc_out_ref,  # [1, GQ, D]   f32
     m_out_ref,    # [1, GQ, 128] f32
@@ -88,29 +102,32 @@ def _decode_kernel(
     @pl.when(nc * chunk < comp_len)
     def _chunk():
         gq, d = q_ref.shape[1], q_ref.shape[2]
-        q = q_ref[0]                                        # [GQ, D] f32
+        r = kqt_ref.shape[1]
+        ngv = d // v_group
+        bf = jnp.bfloat16
+        q = q_ref[0].astype(bf)                             # [GQ, D]
 
-        # ---- K scores per sub-block: (q*scale) @ codes + q.mn -----------
-        s_parts = []
-        for sb in range(cb):
-            kwords = kcodes_ref[0, sb].astype(jnp.uint32)   # [D, WG]
-            kcodes = _unpack_strided(kwords, bits).astype(jnp.float32)
-            kscale = kscale_ref[0, sb, 0].astype(jnp.float32)   # [D]
-            kmn = kmn_ref[0, sb, 0].astype(jnp.float32)         # [D]
-            qs = q * kscale[None, :]
-            s_sb = jax.lax.dot_general(
-                qs, kcodes, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, G]
-            smn = jax.lax.dot_general(
-                q, kmn[:, None], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, 1]
-            s_lr = jax.lax.dot_general(
-                qp_ref[0, sb],
-                kq_ref[0, sb * g:(sb + 1) * g].astype(jnp.float32),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, G]
-            s_parts.append(s_sb + smn + s_lr)
-        s = jnp.concatenate(s_parts, axis=-1)               # [GQ, CHUNK]
+        # One-hot block expander E[t, c] = (t // g == c), [CHUNK, CB].
+        trow = jax.lax.broadcasted_iota(jnp.int32, (chunk, cb), 0) // g
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (chunk, cb), 1)
+        expander = (trow == ccol).astype(bf)                # [CHUNK, CB]
+
+        # ---- K dequant (channel-major): codes * scale_expT + mn_expT ----
+        kcodes = _unpack_words_t(kcodes_ref[0], bits)       # [D, CHUNK] bf16
+        kscale = kscale_ref[0].astype(bf)                   # [CB, D]
+        kmn = kmn_ref[0].astype(bf)
+        scale_expt = _dot(kscale, expander, (((0,), (1,))))  # [D, CHUNK] f32
+        mn_expt = _dot(kmn, expander, (((0,), (1,))))       # [D, CHUNK] f32
+        k_deqt = (kcodes.astype(jnp.float32) * scale_expt + mn_expt
+                  ).astype(bf)                              # [D, CHUNK]
+
+        # ---- scores: q @ k_deqT + low-rank correction -------------------
+        s = _dot(q, k_deqt, (((1,), (0,))))                 # [GQ, CHUNK] f32
+        kqt = kqt_ref[0]                                    # [R, CHUNK] bf16
+        for ri in range(r):
+            qp_r = qp_ref[0, :, ri, :].astype(bf)           # [CB, GQ]
+            qp_exp = _dot(qp_r, expander, (((0,), (1,))))   # [GQ, CHUNK] f32
+            s = s + qp_exp * kqt[ri][None, :].astype(jnp.float32)
 
         # ---- masking: padding prefix and beyond-comp_len tail -----------
         pad0 = pad_start_ref[bh]
@@ -124,37 +141,29 @@ def _decode_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new), 0.0)  # [GQ, CHUNK]
         l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p_bf = p.astype(bf)
 
-        # ---- PV: per d-group scale folding ------------------------------
-        vwords = vcodes_ref[0].astype(jnp.uint32)           # [CHUNK, WD]
-        vcodes = _unpack_strided(vwords, bits).astype(jnp.float32)  # [CHUNK, D]
-        vscale = vscale_ref[0].astype(jnp.float32)          # [CHUNK, NGV]
-        vmn_f = vmn_ref[0].astype(jnp.float32)
-        ngv = d // v_group
-        outs = []
-        for gd in range(ngv):
-            ps = p * vscale[:, gd][None, :]                 # [GQ, CHUNK]
-            seg = jax.lax.dot_general(
-                ps, vcodes[:, gd * v_group:(gd + 1) * v_group],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, v_group]
-            pmn = jax.lax.dot_general(
-                p, vmn_f[:, gd:gd + 1], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, 1]
-            outs.append(seg + pmn)
-        pv = jnp.concatenate(outs, axis=-1)                 # [GQ, D]
+        # ---- V dequant (channel-major) + PV -----------------------------
+        vcodes = _unpack_words_t(vcodes_ref[0], bits)       # [D, CHUNK] bf16
+        vscale = vscale_ref[0].astype(bf)                   # [NGV, CHUNK]
+        vmn_f = vmn_ref[0].astype(bf)
+        vs_expt = jnp.concatenate([
+            jnp.broadcast_to(vscale[i:i + 1], (v_group, chunk))
+            for i in range(ngv)], axis=0)                   # [D, CHUNK]
+        vm_expt = jnp.concatenate([
+            jnp.broadcast_to(vmn_f[i:i + 1], (v_group, chunk))
+            for i in range(ngv)], axis=0)
+        v_deqt = vcodes * vs_expt + vm_expt                 # [D, CHUNK] bf16
+        pv = _dot(p_bf, v_deqt, (((1,), (1,))))             # [GQ, D] f32
 
-        # ---- low-rank output correction, per sub-block P ----------------
-        for sb in range(cb):
-            pvq_sb = jax.lax.dot_general(
-                p[:, sb * g:(sb + 1) * g],
-                vq_ref[0, sb * g:(sb + 1) * g].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, R]
-            pv = pv + jax.lax.dot_general(
-                pvq_sb, vp_ref[0, sb].astype(jnp.float32),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [GQ, D]
+        # low-rank PV correction: sum_r ((p * vqt_r) @ E) @ vpt_r
+        vqt = vqt_ref[0]                                    # [R, CHUNK] bf16
+        for ri in range(r):
+            w_r = p_bf * vqt[ri][None, :]                   # [GQ, CHUNK]
+            wv_r = _dot(w_r, expander, (((1,), (0,))))      # [GQ, CB] f32
+            pv = pv + _dot(wv_r.astype(bf),
+                           vpt_ref[0, :, ri, :],
+                           (((1,), (0,))))                  # [GQ, D]
 
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -176,21 +185,21 @@ def decode_attention_prefix(
     comp_len: jax.Array,     # int32 []
     pad_start: jax.Array,    # int32 [BH]
     q: jax.Array,            # [BH, GQ, D] f32 — sm_scale already folded in
-    qp: jax.Array,           # [BH, NB, GQ, R] f32 — q @ kp, sm_scale folded
-    k_codes: jax.Array,      # [BH, NB, D, group//fpi] int32
-    k_scale: jax.Array,      # [BH, NB, 1, D]
-    k_mn: jax.Array,         # [BH, NB, 1, D]
-    kq: jax.Array,           # [BH, T, R]
-    v_codes: jax.Array,      # [BH, T, D//fpi] int32
-    v_scale: jax.Array,      # [BH, T, NGV]
-    v_mn: jax.Array,         # [BH, T, NGV]
-    vq: jax.Array,           # [BH, T, R]
-    vp: jax.Array,           # [BH, NB, D, R]
+    qp: jax.Array,           # [BH, NB, R, GQ] f32 — q @ kp, sm_scale folded
+    k_codes: jax.Array,      # [BH, D//fpi, T] int32 (word-major transposed)
+    k_scale: jax.Array,      # [BH, NB, D]
+    k_mn: jax.Array,         # [BH, NB, D]
+    kqt: jax.Array,          # [BH, R, T]
+    v_codes: jax.Array,      # [BH, D//fpi, T] int32
+    v_scale: jax.Array,      # [BH, NGV, T]
+    v_mn: jax.Array,         # [BH, NGV, T]
+    vqt: jax.Array,          # [BH, R, T]
+    vpt: jax.Array,          # [BH, NB, R, D]
     *,
     bits: int,
     group: int,
     v_group: int,
-    blocks_per_chunk: int = 8,
+    blocks_per_chunk: int = 16,
     interpret: bool = False,
 ):
     """Flash-decode over the packed compressed prefix.
@@ -199,14 +208,17 @@ def decode_attention_prefix(
     state, merged with the residual tier by the caller.
     """
     bh, gq, d = q.shape
-    t = kq.shape[1]
+    t = kqt.shape[2]
     nb = t // group
+    # Chunk size: cb blocks of `group` tokens. The k_scale block is
+    # [cb, D], so cb must be a multiple of 8 or equal nb (TPU tiling rule).
     cb = min(blocks_per_chunk, nb)
     while nb % cb:
         cb -= 1
+    if cb % 8 and cb != nb:
+        cb = nb  # fall back to one chunk
     nc = nb // cb
-    r = kq.shape[2]
-    wg = group // (32 // bits)
+    r = kqt.shape[1]
     wd = d // (32 // bits)
     ngv = d // v_group
     chunk = cb * group
@@ -222,16 +234,16 @@ def decode_attention_prefix(
             grid=(bh, nc),
             in_specs=[
                 pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, cb, gq, r), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, cb, d, wg), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, cb, 1, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, cb, 1, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, chunk, r), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, chunk, wd), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, chunk, ngv), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, chunk, ngv), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, chunk, r), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, cb, d, r), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, cb, r, gq), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
@@ -252,7 +264,7 @@ def decode_attention_prefix(
         interpret=interpret,
     )(
         comp_len.reshape(1), pad_start,
-        q, qp, k_codes, k_scale, k_mn, kq, v_codes, v_scale, v_mn, vq, vp,
+        q, qp, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn, vqt, vpt,
     )
     return acc, m[:, :, 0], l[:, :, 0]
 
@@ -264,7 +276,7 @@ def attend_fused(
     *,
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
-    blocks_per_chunk: int = 8,
+    blocks_per_chunk: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for gear_tpu.cache.attend using the Pallas kernel
@@ -284,7 +296,7 @@ def attend_fused(
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
 
     kp = cache.kp.astype(jnp.float32)
-    qp = jnp.einsum("bhqd,bhndr->bhnqr", qf, kp)
+    qp = jnp.einsum("bhqd,bhndr->bhnrq", qf, kp)  # [B,H,NB,R,GQ]
 
     flat = lambda x: x.reshape(bhn, *x.shape[2:])
     if pad_start is None:
@@ -297,14 +309,14 @@ def attend_fused(
         pad_bh,
         flat(qf), flat(qp),
         flat(cache.k_codes),
-        flat(cache.k_scale).reshape(bhn, nb, 1, d),
-        flat(cache.k_mn).reshape(bhn, nb, 1, d),
-        flat(cache.kq),
+        flat(cache.k_scale),
+        flat(cache.k_mn),
+        flat(cache.kqt),
         flat(cache.v_codes),
         flat(cache.v_scale),
         flat(cache.v_mn),
-        flat(cache.vq),
-        flat(cache.vp),
+        flat(cache.vqt),
+        flat(cache.vpt),
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
         blocks_per_chunk=blocks_per_chunk, interpret=interpret,
     )

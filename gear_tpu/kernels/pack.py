@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused group-minmax + quantize + bit-pack.
+
+Replaces the reference's Triton pack kernels
+(cuda_supported_gear/quant/new_pack.py:132-177 ``_pack_along_last_dim`` /
+``_minmax_along_last_dim``) with a single fused TPU kernel: one read of the
+fp block produces packed int32 words + per-group scale/min without
+materializing intermediate codes in HBM.
+
+Two entry points matching the cache layouts (gear_tpu.cache):
+  * :func:`quant_pack_tokens`  — V-style: groups along the head dim
+    (per-token scales), codes packed strided along the head dim.
+  * :func:`quant_pack_channels` — K-style: groups along time (per-channel
+    scales), codes still packed along the head dim (packing dim is decoupled
+    from grouping dim).
+
+Used on the prefill path where the block is large; the per-flush block
+(``group`` tokens) is small enough that the XLA path is equivalent.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pack_strided(codes, bits: int):
+    """[..., n] int32 codes -> [..., n*bits//32] int32 words (strided lanes)."""
+    fpi = 32 // bits
+    n = codes.shape[-1]
+    w = n // fpi
+    acc = codes[..., 0 * w:1 * w].astype(jnp.uint32)
+    for j in range(1, fpi):
+        acc = acc | (codes[..., j * w:(j + 1) * w].astype(jnp.uint32)
+                     << jnp.uint32(j * bits))
+    return acc.astype(jnp.int32)
+
+
+def _token_kernel(x_ref, codes_ref, scale_ref, mn_ref, *, bits, v_group):
+    """x [TM, D] -> packed [TM, WD], scale/mn [TM, NGV]."""
+    x = x_ref[...].astype(jnp.float32)
+    tm, d = x.shape
+    ngv = d // v_group
+    levels = (1 << bits) - 1
+    code_parts, scales, mns = [], [], []
+    for i in range(ngv):
+        seg = x[:, i * v_group:(i + 1) * v_group]
+        mn = jnp.min(seg, axis=-1, keepdims=True)
+        mx = jnp.max(seg, axis=-1, keepdims=True)
+        scale = (mx - mn) / levels
+        safe = jnp.where(scale == 0.0, 1.0, scale)
+        c = jnp.clip(jnp.round((seg - mn) / safe), 0, levels).astype(jnp.int32)
+        code_parts.append(c)
+        scales.append(scale)
+        mns.append(mn)
+    codes = jnp.concatenate(code_parts, axis=-1)            # [TM, D]
+    codes_ref[...] = _pack_strided(codes, bits)
+    scale_ref[...] = jnp.concatenate(scales, axis=-1).astype(scale_ref.dtype)
+    mn_ref[...] = jnp.concatenate(mns, axis=-1).astype(mn_ref.dtype)
+
+
+def _channel_kernel(x_ref, codes_ref, scale_ref, mn_ref, *, bits):
+    """x [1, G, D] (one time-block) -> packed [1, G, WD], scale/mn [1, 1, D]."""
+    x = x_ref[0].astype(jnp.float32)                        # [G, D]
+    levels = (1 << bits) - 1
+    mn = jnp.min(x, axis=0, keepdims=True)                  # [1, D]
+    mx = jnp.max(x, axis=0, keepdims=True)
+    scale = (mx - mn) / levels
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    codes = jnp.clip(jnp.round((x - mn) / safe), 0, levels).astype(jnp.int32)
+    codes_ref[0] = _pack_strided(codes, bits)
+    scale_ref[0] = scale.astype(scale_ref.dtype)
+    mn_ref[0] = mn.astype(mn_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "v_group", "sideband_dtype", "interpret"))
+def quant_pack_tokens(x, *, bits, v_group, sideband_dtype=jnp.bfloat16,
+                      interpret=False):
+    """x [M, D] fp -> (packed int32 [M, D*bits//32], scale [M, D//v_group],
+    mn) with per-token groups along the head dim (V layout)."""
+    m, d = x.shape
+    wd = d * bits // 32
+    ngv = d // v_group
+    tm = min(512, m)
+    while m % tm:
+        tm -= 1
+    kernel = functools.partial(_token_kernel, bits=bits, v_group=v_group)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tm,),
+        in_specs=[pl.BlockSpec((tm, d), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((tm, wd), lambda i: (i, 0)),
+            pl.BlockSpec((tm, ngv), lambda i: (i, 0)),
+            pl.BlockSpec((tm, ngv), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, wd), jnp.int32),
+            jax.ShapeDtypeStruct((m, ngv), sideband_dtype),
+            jax.ShapeDtypeStruct((m, ngv), sideband_dtype),
+        ],
+        interpret=interpret,
+    )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group", "sideband_dtype", "interpret"))
+def quant_pack_channels(x, *, bits, group, sideband_dtype=jnp.bfloat16,
+                        interpret=False):
+    """x [S, D] fp -> (packed int32 [S, D*bits//32], scale [S//group, D], mn)
+    with per-channel groups along time (K layout), codes packed along D."""
+    s, d = x.shape
+    wd = d * bits // 32
+    nbs = s // group
+    kernel = functools.partial(_channel_kernel, bits=bits)
+    xb = x.reshape(nbs, group, d)
+    return pl.pallas_call(
+        kernel,
+        grid=(nbs,),
+        in_specs=[pl.BlockSpec((1, group, d), lambda i: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, group, wd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbs, group, wd), jnp.int32),
+            jax.ShapeDtypeStruct((nbs, 1, d), sideband_dtype),
+            jax.ShapeDtypeStruct((nbs, 1, d), sideband_dtype),
+        ],
+        interpret=interpret,
+    )(xb)

@@ -75,8 +75,8 @@ def cache_pspecs(stacked: bool = True) -> LayerCache:
         k_codes=ps(None, None), k_scale=ps(None, None), k_mn=ps(None, None),
         v_codes=ps(None, None), v_scale=ps(None, None), v_mn=ps(None, None),
         k_resid=ps(None, None), v_resid=ps(None, None),
-        kp=ps(None, None, None), kq=ps(None, None),
-        vp=ps(None, None, None), vq=ps(None, None),
+        kp=ps(None, None, None), kqt=ps(None, None),
+        vpt=ps(None, None, None), vqt=ps(None, None),
         comp_len=scalar, resid_len=scalar,
     )
 

@@ -37,8 +37,10 @@ def test_kernel_matches_xla_attend(rng, bits):
         rng.standard_normal((spec.batch, hq, 1, spec.head_dim)).astype(np.float32))
     want = C.attend(spec, cache, q)
     got = K.attend_fused(spec, cache, q, interpret=True)
+    # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
+    # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=5e-3)
 
 
 def test_kernel_with_residual_tier(rng):
@@ -48,8 +50,10 @@ def test_kernel_with_residual_tier(rng):
         rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
     want = C.attend(spec, cache, q)
     got = K.attend_fused(spec, cache, q, interpret=True)
+    # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
+    # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=5e-3)
 
 
 def test_kernel_partial_prefix(rng):
@@ -60,8 +64,10 @@ def test_kernel_partial_prefix(rng):
         rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
     want = C.attend(spec, cache, q)
     got = K.attend_fused(spec, cache, q, interpret=True)
+    # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
+    # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=5e-3)
 
 
 def test_kernel_pad_start(rng):
@@ -72,8 +78,10 @@ def test_kernel_pad_start(rng):
     pad = jnp.asarray([0, 70], jnp.int32)  # row 1 masks the first 70 tokens
     want = C.attend(spec, cache, q, pad_start=pad)
     got = K.attend_fused(spec, cache, q, pad_start=pad, interpret=True)
+    # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
+    # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=5e-3)
 
 
 def test_kernel_gqa(rng):
@@ -84,8 +92,10 @@ def test_kernel_gqa(rng):
         rng.standard_normal((spec.batch, hq, 1, spec.head_dim)).astype(np.float32))
     want = C.attend(spec, cache, q)
     got = K.attend_fused(spec, cache, q, interpret=True)
+    # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
+    # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=5e-3)
 
 
 def test_kernel_empty_residual_after_flush(rng):
