@@ -50,11 +50,18 @@ def main():
             def body(i, x):
                 return f(cache, x + i * 1e-9).astype(q.dtype)
             return jax.lax.fori_loop(0, N, body, q)
-        jax.block_until_ready(loop(c, q))  # compile + warm
-        t0 = time.time()
-        out = loop(c, q)
-        jax.block_until_ready(out)
-        return (time.time() - t0) / N
+        # NOTE: on the tunneled runtime block_until_ready does not actually
+        # wait; a device->host fetch is the only reliable sync.
+        np.asarray(loop(c, q))  # compile + warm
+        best = None
+        for trial in range(3):
+            q2 = q + (trial + 1) * 0.01
+            np.asarray(q2)
+            t0 = time.time()
+            np.asarray(loop(c, q2))
+            dt = (time.time() - t0) / N
+            best = dt if best is None else min(best, dt)
+        return best
 
     dt_fused = bench(
         lambda c, x: K.attend_fused(spec, c, x, blocks_per_chunk=8), cache, q)

@@ -499,6 +499,101 @@ def attend(
     return out.reshape(b, hq, qn, d).astype(q.dtype)
 
 
+def attend_partial(
+    spec: CacheSpec,
+    cache: LayerCache,
+    q: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    pad_start: jax.Array | None = None,
+    include_residual: bool = True,
+    token_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Unnormalized flash-style attention state against this cache (shard).
+
+    Returns (acc [B,Hq,Qn,D] f32, m [B,Hq,Qn], l [B,Hq,Qn]) such that the
+    softmax-normalized output is acc / l; partial states from KV shards merge
+    with :func:`merge_partials` — the sequence-parallel decode building block
+    (survey §2.5: KV-sharded long context with online-softmax merge).
+
+    ``token_offset`` is this shard's global position of local token 0 (used
+    only for pad masking against global ``pad_start``).
+    """
+    b, hq, qn, d = q.shape
+    hkv = spec.num_kv_heads
+    gq = hq // hkv
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    t, nb, g, r = spec.max_len, spec.n_blocks, spec.group, spec.r_store
+
+    qf = q.reshape(b, hkv, gq * qn, d).astype(jnp.float32)
+
+    k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
+    scores = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)
+    kp = cache.kp.astype(jnp.float32)
+    kqt = cache.kqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
+    scores = scores + jnp.einsum(
+        "bhqnr,bhrng->bhqng", qp, kqt).reshape(b, hkv, gq * qn, t)
+    if include_residual:
+        kr = cache.k_resid.astype(jnp.float32)
+        scores_res = jnp.einsum("bhqd,bhrd->bhqr", qf, kr)
+        scores = jnp.concatenate([scores, scores_res], axis=-1)
+    scores = scores * sm_scale
+
+    n_ext = spec.group if include_residual else 0
+    pos = jnp.arange(t + n_ext)
+    valid = jnp.where(pos < t, pos < cache.comp_len,
+                      (pos - t) < cache.resid_len)
+    valid = valid[None, None, None, :]
+    if pad_start is not None:
+        gpos = pos + token_offset
+        valid = valid & jnp.where(
+            pos[None, :] < t, gpos[None, :] >= pad_start[:, None], True
+        )[:, None, None, :]
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    m = jnp.max(scores, axis=-1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.where(jnp.isfinite(scores), jnp.exp(scores - m_safe[..., None]), 0.0)
+    l = jnp.sum(w, axis=-1)
+    wc = w[..., :t]
+    v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
+    acc = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
+    vpt = cache.vpt.astype(jnp.float32)
+    vqt = cache.vqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    wv = jnp.einsum("bhqng,bhrng->bhqnr",
+                    wc.reshape(b, hkv, gq * qn, nb, g), vqt)
+    acc = acc + jnp.einsum("bhqnr,bhnrd->bhqd", wv, vpt)
+    if include_residual:
+        acc = acc + jnp.einsum("bhqr,bhrd->bhqd", w[..., t:],
+                               cache.v_resid.astype(jnp.float32))
+
+    m = jnp.where(jnp.isfinite(m), m, -1e30)
+    shape_out = (b, hq, qn)
+    return (acc.reshape(b, hq, qn, d), m.reshape(shape_out),
+            l.reshape(shape_out))
+
+
+def merge_partials(parts):
+    """Merge flash-attention partial states [(acc, m, l), ...] -> output.
+
+    Standard online-softmax merge: m* = max m_i; out = sum(acc_i e^{m_i-m*})
+    / sum(l_i e^{m_i-m*}).
+    """
+    accs, ms, ls = zip(*parts)
+    m_tot = ms[0]
+    for m in ms[1:]:
+        m_tot = jnp.maximum(m_tot, m)
+    num = 0.0
+    den = 0.0
+    for acc, m, l in parts:
+        a = jnp.where(m > -1e29, jnp.exp(m - m_tot), 0.0)
+        num = num + acc * a[..., None]
+        den = den + l * a
+    return num / den[..., None]
+
+
 def stack_layers(caches: list[LayerCache]) -> LayerCache:
     """Stack per-layer caches into one pytree with a leading layer axis
     (for lax.scan over layers)."""

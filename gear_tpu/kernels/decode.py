@@ -112,17 +112,22 @@ def _decode_kernel(
         ccol = jax.lax.broadcasted_iota(jnp.int32, (chunk, cb), 1)
         expander = (trow == ccol).astype(bf)                # [CHUNK, CB]
 
-        # ---- K dequant (channel-major): codes * scale_expT + mn_expT ----
+        # ---- K scores with scale FOLDED INTO q (no dequant tensor) ------
+        # s[., t in block c] = (q * kscale[c]) . codes[:, t] + q . kmn[c]
         kcodes = _unpack_words_t(kcodes_ref[0], bits)       # [D, CHUNK] bf16
         kscale = kscale_ref[0].astype(bf)                   # [CB, D]
         kmn = kmn_ref[0].astype(bf)
-        scale_expt = _dot(kscale, expander, (((0,), (1,))))  # [D, CHUNK] f32
-        mn_expt = _dot(kmn, expander, (((0,), (1,))))       # [D, CHUNK] f32
-        k_deqt = (kcodes.astype(jnp.float32) * scale_expt + mn_expt
-                  ).astype(bf)                              # [D, CHUNK]
+        s_parts = []
+        for c in range(cb):
+            qs = q * kscale[c][None, :]                     # [GQ, D]
+            s_parts.append(_dot(
+                qs, kcodes[:, c * g:(c + 1) * g], (((1,), (0,)))))
+        s = jnp.concatenate(s_parts, axis=-1)               # [GQ, CHUNK] f32
+        # + per-block q.mn, expanded along the chunk
+        qmn = _dot(q, kmn, (((1,), (1,))))                  # [GQ, CB] f32
+        s = s + _dot(qmn.astype(bf), expander, (((1,), (1,))))
 
-        # ---- scores: q @ k_deqT + low-rank correction -------------------
-        s = _dot(q, k_deqt, (((1,), (0,))))                 # [GQ, CHUNK] f32
+        # low-rank score correction
         kqt = kqt_ref[0]                                    # [R, CHUNK] bf16
         for ri in range(r):
             qp_r = qp_ref[0, :, ri, :].astype(bf)           # [CB, GQ]
@@ -143,18 +148,21 @@ def _decode_kernel(
         l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         p_bf = p.astype(bf)
 
-        # ---- V dequant (channel-major) + PV -----------------------------
+        # ---- PV with scale FOLDED INTO p (no dequant tensor) ------------
+        # pv[., d in group i] = (p * vscale[i]) . codes[d, :] + (p . vmn[i])
         vcodes = _unpack_words_t(vcodes_ref[0], bits)       # [D, CHUNK] bf16
         vscale = vscale_ref[0].astype(bf)                   # [NGV, CHUNK]
         vmn_f = vmn_ref[0].astype(bf)
-        vs_expt = jnp.concatenate([
-            jnp.broadcast_to(vscale[i:i + 1], (v_group, chunk))
-            for i in range(ngv)], axis=0)                   # [D, CHUNK]
-        vm_expt = jnp.concatenate([
-            jnp.broadcast_to(vmn_f[i:i + 1], (v_group, chunk))
-            for i in range(ngv)], axis=0)
-        v_deqt = vcodes * vs_expt + vm_expt                 # [D, CHUNK] bf16
-        pv = _dot(p_bf, v_deqt, (((1,), (1,))))             # [GQ, D] f32
+        pv_parts = []
+        for i in range(ngv):
+            ps = p_bf * vscale[i][None, :]                  # [GQ, CHUNK]
+            seg = _dot(ps, vcodes[i * v_group:(i + 1) * v_group, :],
+                       (((1,), (1,))))                      # [GQ, v_group]
+            # bf16 minor-dim insertion is unsupported in Mosaic; contract
+            # against the 2-D row slice instead.
+            pmn = _dot(p_bf, vmn_f[i:i + 1, :], (((1,), (1,))))  # [GQ, 1]
+            pv_parts.append(seg + pmn)
+        pv = jnp.concatenate(pv_parts, axis=-1)             # [GQ, D] f32
 
         # low-rank PV correction: sum_r ((p * vqt_r) @ E) @ vpt_r
         vqt = vqt_ref[0]                                    # [R, CHUNK] bf16

@@ -1,0 +1,124 @@
+"""Sequence (context) parallelism: compressed-KV-sharded decode attention.
+
+The reference has NO sequence parallelism (survey §2.5) — long contexts are
+bounded by one device's memory. The TPU build shards the COMPRESSED prefix
+along time across a ``seq`` mesh axis: each device holds T/n blocks of
+packed codes + scales + low-rank bases, computes a partial flash-attention
+state against its shard, and the states merge with one tiny psum-style
+collective (online-softmax merge). The wire format is O(B*Hq*D) floats per
+step — the KV itself never moves, which is the whole point of compressing
+it in place.
+
+The residual (uncompressed) tier lives on the LAST shard, which is also the
+only shard that absorbs newly appended tokens; flush-produced blocks land in
+that shard's local prefix. Rebalancing shards is a host-level operation
+between generations (not needed within one).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import cache as kvcache
+from ..cache import CacheSpec, LayerCache
+
+
+def shard_spec(spec: CacheSpec, n_shards: int) -> CacheSpec:
+    """The per-device CacheSpec for a seq-sharded cache."""
+    if spec.max_len % (n_shards * spec.group):
+        raise ValueError("max_len must divide evenly into seq shards of "
+                         "whole groups")
+    import dataclasses
+
+    return dataclasses.replace(spec, max_len=spec.max_len // n_shards)
+
+
+def split_cache(spec: CacheSpec, cache: LayerCache, n_shards: int
+                ) -> LayerCache:
+    """Split a single-device LayerCache into per-shard caches stacked on a
+    leading shard axis (for device_put onto the ``seq`` mesh axis).
+
+    Time-sharded leaves: k_codes/v_codes [.., WD, T], v_scale/v_mn
+    [.., NGV, T], kqt/vqt [.., R, T] split on their last axis; k_scale/k_mn
+    [.., NB, D] and kp/vpt [.., NB, ..] on the block axis. The residual tier
+    and resid_len go to the LAST shard only; comp_len becomes per-shard
+    local lengths.
+    """
+    ls = spec.max_len // n_shards
+    nbs = ls // spec.group
+
+    def split_t(x, axis):
+        return jnp.stack(jnp.split(x, n_shards, axis=axis))
+
+    shard_ids = jnp.arange(n_shards, dtype=jnp.int32)
+    local_comp = jnp.clip(cache.comp_len - shard_ids * ls, 0, ls)
+    is_last = (shard_ids == n_shards - 1).astype(jnp.int32)
+    zeros_resid = jnp.zeros_like(cache.k_resid)
+    return LayerCache(
+        k_codes=split_t(cache.k_codes, 3),
+        k_scale=split_t(cache.k_scale, 2),
+        k_mn=split_t(cache.k_mn, 2),
+        v_codes=split_t(cache.v_codes, 3),
+        v_scale=split_t(cache.v_scale, 3),
+        v_mn=split_t(cache.v_mn, 3),
+        k_resid=jnp.stack([
+            jnp.where(i == n_shards - 1, cache.k_resid, zeros_resid)
+            for i in range(n_shards)]),
+        v_resid=jnp.stack([
+            jnp.where(i == n_shards - 1, cache.v_resid, zeros_resid)
+            for i in range(n_shards)]),
+        kp=split_t(cache.kp, 2),
+        kqt=split_t(cache.kqt, 3),
+        vpt=split_t(cache.vpt, 2),
+        vqt=split_t(cache.vqt, 3),
+        comp_len=local_comp,
+        resid_len=cache.resid_len * is_last,
+    )
+
+
+def seq_sharded_attend(
+    spec: CacheSpec,
+    sharded_cache: LayerCache,   # leaves with leading shard axis
+    q: jax.Array,                # [B, Hq, Qn, D] replicated
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    sm_scale: float | None = None,
+    pad_start: jax.Array | None = None,
+) -> jax.Array:
+    """Decode attention over a seq-sharded compressed cache.
+
+    Each device computes a partial flash state on its local shard; partials
+    merge with psum/pmax collectives over the ``seq`` axis. q and the output
+    are replicated over the axis.
+    """
+    n_shards = mesh.shape[axis]
+    lspec = shard_spec(spec, n_shards)
+    ls = lspec.max_len
+    if pad_start is None:
+        pad_start = jnp.zeros((q.shape[0],), jnp.int32)
+
+    cache_specs = jax.tree.map(lambda _: P(axis), sharded_cache)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(cache_specs, P(), P()),
+        out_specs=P(),
+    )
+    def run(local_cache, q_rep, pad_rep):
+        local_cache = jax.tree.map(lambda x: x[0], local_cache)
+        shard_id = jax.lax.axis_index(axis)
+        acc, m, l = kvcache.attend_partial(
+            lspec, local_cache, q_rep, sm_scale=sm_scale,
+            pad_start=pad_rep, token_offset=shard_id * ls)
+        # online-softmax merge across the seq axis
+        m_tot = jax.lax.pmax(m, axis)
+        a = jnp.where(m > -1e29, jnp.exp(m - m_tot), 0.0)
+        num = jax.lax.psum(acc * a[..., None], axis)
+        den = jax.lax.psum(l * a, axis)
+        return (num / den[..., None]).astype(q_rep.dtype)
+
+    return run(sharded_cache, q, pad_start)

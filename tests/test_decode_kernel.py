@@ -40,7 +40,7 @@ def test_kernel_matches_xla_attend(rng, bits):
     # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
     # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=5e-3)
+                               rtol=2e-2, atol=8e-3)
 
 
 def test_kernel_with_residual_tier(rng):
@@ -53,7 +53,7 @@ def test_kernel_with_residual_tier(rng):
     # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
     # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=5e-3)
+                               rtol=2e-2, atol=8e-3)
 
 
 def test_kernel_partial_prefix(rng):
@@ -67,7 +67,7 @@ def test_kernel_partial_prefix(rng):
     # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
     # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=5e-3)
+                               rtol=2e-2, atol=8e-3)
 
 
 def test_kernel_pad_start(rng):
@@ -81,7 +81,7 @@ def test_kernel_pad_start(rng):
     # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
     # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=5e-3)
+                               rtol=2e-2, atol=8e-3)
 
 
 def test_kernel_gqa(rng):
@@ -95,7 +95,7 @@ def test_kernel_gqa(rng):
     # v3 kernel computes in bf16 (f32 accumulate): ~0.4% rounding noise on
     # top of the f32 XLA reference.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=5e-3)
+                               rtol=2e-2, atol=8e-3)
 
 
 def test_kernel_empty_residual_after_flush(rng):
