@@ -40,6 +40,7 @@ class EngineConfig:
     temperature: float = 0.0       # 0 = greedy
     sync_every: int = 16           # host<->device sync cadence for early exit
     use_lowrank: bool = True
+    attn_impl: str = "xla"         # fused-mode decode attention backend
 
 
 class InferenceEngine:
@@ -138,12 +139,14 @@ class InferenceEngine:
             mode = self.ecfg.mode
             temp = self.ecfg.temperature
 
+            attn_impl = self.ecfg.attn_impl
+
             @jax.jit
             def step(params, caches, token, position, pad_start, prng):
                 logits, caches = llama.forward_decode(
                     params, cfg, token, position, caches,
                     spec=spec, compress=(mode == "fused"),
-                    pad_start=pad_start, prng=prng)
+                    pad_start=pad_start, prng=prng, attn_impl=attn_impl)
                 if temp > 0:
                     next_tok = jax.random.categorical(prng, logits / temp, axis=-1)
                 else:

@@ -285,6 +285,7 @@ def forward_decode(
     compress: bool = True,
     pad_start: jax.Array | None = None,
     prng: jax.Array | None = None,
+    attn_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> tuple[jax.Array, LayerCache]:
     """One decode step: append KV, attend against the compressed cache.
 
@@ -308,7 +309,14 @@ def forward_decode(
         k = apply_rope(k, cos, sin)
         if compress:
             lcache = kvcache.append(spec, lcache, k, v, key=lkey)
-            attn = kvcache.attend(spec, lcache, q, pad_start=pad_start)
+            if attn_impl.startswith("pallas"):
+                from ..kernels import decode as fused
+
+                attn = fused.attend_fused(
+                    spec, lcache, q, pad_start=pad_start,
+                    interpret=attn_impl == "pallas_interpret")
+            else:
+                attn = kvcache.attend(spec, lcache, q, pad_start=pad_start)
         else:
             lcache = raw_append(spec, lcache, k, v)
             attn = raw_attend(spec, lcache, q, pad_start=pad_start)

@@ -117,3 +117,18 @@ def test_prefill_logits_match_reference_attention(tiny):
         spec=spec, compress=False)
     np.testing.assert_allclose(
         np.asarray(step_logits[0]), np.asarray(logits[0, -1]), rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_attn_impl_matches_xla(tiny):
+    """fused decode via the Pallas kernel (interpret) == XLA fallback."""
+    cfg, params = tiny
+    prompts = [[1, 5, 9, 12], [3, 7]]
+    ex = mk_engine(cfg, params, "fused", quantize_bit=8)
+    out_xla = ex.generate(prompts, 10)
+    ep = mk_engine(cfg, params, "fused", quantize_bit=8)
+    ep.ecfg = EngineConfig(max_len=128, mode="fused",
+                           attn_impl="pallas_interpret")
+    out_pal = ep.generate(prompts, 10)
+    agree = np.mean([a == b for ra, rp in zip(out_xla, out_pal)
+                     for a, b in zip(ra, rp)])
+    assert agree >= 0.8, f"pallas vs xla agreement {agree}"
