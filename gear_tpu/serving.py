@@ -1,0 +1,304 @@
+"""Continuous-batching serving engine over per-slot compressed caches.
+
+The reference serves via HF ``generate`` with static batches (survey §1);
+requests in a batch all start and stop together. This engine gives every
+sequence its own slot with independent cache lengths:
+
+  * the slot-stacked cache is a LayerCache pytree with leaves
+    [L, S, 1, H, ...] and per-slot length scalars [L, S] — one jitted decode
+    step vmaps the whole model over slots, so sequences of different ages
+    decode together (``lax.cond`` flushes become per-slot selects under
+    vmap);
+  * admission/slot bookkeeping lives in the native C++ scheduler
+    (native/scheduler.cc, FCFS with a slot free-list) via ctypes;
+  * a freed slot is immediately refilled by prefilling the next waiting
+    request (bucketed compile reuse) and splicing its cache into the stack.
+
+This is the single-host core; DP over hosts replicates engines behind a
+router, and the compressed snapshot store (gear_tpu.runtime.kvstore) can
+migrate a slot's cache across hosts in its wire format.
+"""
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cache as kvcache
+from .config import CompressionConfig
+from .models import llama
+
+
+def _load_sched():
+    path = Path(__file__).resolve().parents[1] / "native" / "libgearsched.so"
+    if not path.exists():
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.gear_sched_create.restype = ctypes.c_void_p
+    lib.gear_sched_create.argtypes = [ctypes.c_int]
+    lib.gear_sched_destroy.argtypes = [ctypes.c_void_p]
+    for name, res, args in [
+        ("gear_sched_add", ctypes.c_int,
+         [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]),
+        ("gear_sched_next_admission", ctypes.c_int64, [ctypes.c_void_p]),
+        ("gear_sched_admit", ctypes.c_int, [ctypes.c_void_p, ctypes.c_int64]),
+        ("gear_sched_step", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int]),
+        ("gear_sched_finish", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int]),
+        ("gear_sched_active", ctypes.c_int, [ctypes.c_void_p]),
+        ("gear_sched_waiting", ctypes.c_int, [ctypes.c_void_p]),
+        ("gear_sched_done", ctypes.c_int64, [ctypes.c_void_p]),
+        ("gear_sched_slot_rid", ctypes.c_int64,
+         [ctypes.c_void_p, ctypes.c_int]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = res
+        fn.argtypes = args
+    return lib
+
+
+class _PySched:
+    """Pure-python fallback mirroring native/scheduler.cc semantics."""
+
+    def __init__(self, n_slots):
+        self.waiting = []
+        self.active = {}
+        self.slots = [-1] * n_slots
+        self.done_count = 0
+
+    def add(self, rid, plen, max_new):
+        self.waiting.append([rid, plen, max_new, 0])
+        return 0
+
+    def next_admission(self):
+        if not self.waiting or -1 not in self.slots:
+            return -1
+        return self.waiting[0][0]
+
+    def admit(self, rid):
+        if not self.waiting or self.waiting[0][0] != rid:
+            return -1
+        slot = self.slots.index(-1)
+        r = self.waiting.pop(0)
+        self.slots[slot] = rid
+        self.active[rid] = r
+        return slot
+
+    def step(self, slot):
+        rid = self.slots[slot]
+        if rid == -1:
+            return -1
+        r = self.active[rid]
+        r[3] += 1
+        return r[2] - r[3]
+
+    def finish(self, slot):
+        rid = self.slots[slot]
+        if rid == -1:
+            return -1
+        self.slots[slot] = -1
+        del self.active[rid]
+        self.done_count += 1
+        return rid
+
+
+class Scheduler:
+    """Thin wrapper selecting the native scheduler when built."""
+
+    def __init__(self, n_slots: int):
+        self._lib = _load_sched()
+        if self._lib is not None:
+            self._h = self._lib.gear_sched_create(n_slots)
+        else:
+            self._py = _PySched(n_slots)
+
+    @property
+    def native(self) -> bool:
+        return self._lib is not None
+
+    def add(self, rid, plen, max_new):
+        if self._lib:
+            return self._lib.gear_sched_add(self._h, rid, plen, max_new)
+        return self._py.add(rid, plen, max_new)
+
+    def next_admission(self):
+        if self._lib:
+            return self._lib.gear_sched_next_admission(self._h)
+        return self._py.next_admission()
+
+    def admit(self, rid):
+        if self._lib:
+            return self._lib.gear_sched_admit(self._h, rid)
+        return self._py.admit(rid)
+
+    def step(self, slot):
+        if self._lib:
+            return self._lib.gear_sched_step(self._h, slot)
+        return self._py.step(slot)
+
+    def finish(self, slot):
+        if self._lib:
+            return self._lib.gear_sched_finish(self._h, slot)
+        return self._py.finish(slot)
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None:
+            self._lib.gear_sched_destroy(self._h)
+
+
+@dataclass
+class Request:
+    rid: int
+    tokens: list[int]
+    max_new: int
+    out: list[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    """Continuous batching over ``n_slots`` independent sequences."""
+
+    def __init__(self, model_cfg: llama.ModelConfig, params, comp=None, *,
+                 n_slots: int = 4, max_len: int = 512,
+                 eos_token_id: int | None = None, pad_token_id: int = 0):
+        self.cfg = model_cfg
+        self.params = params
+        self.comp = comp or CompressionConfig(num_layers=model_cfg.num_layers)
+        lcomp = self.comp.layer(0)
+        self.spec = model_cfg.cache_spec(1, max_len, lcomp)  # per-slot B=1
+        self.n_slots = n_slots
+        self.max_len = max_len
+        self.eos = eos_token_id
+        self.pad_id = pad_token_id
+        self.sched = Scheduler(n_slots)
+        self.requests: dict[int, Request] = {}
+        self._next_rid = 0
+        self._slot_req: list[Request | None] = [None] * n_slots
+
+        one = kvcache.init_stacked(self.spec, model_cfg.num_layers)
+        self.caches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], n_slots) + x.shape[1:]),
+            one)
+        self.cur_tok = jnp.zeros((n_slots,), jnp.int32)
+        self.positions = jnp.zeros((n_slots,), jnp.int32)
+        self.pad_start = jnp.zeros((n_slots,), jnp.int32)
+        self.live = np.zeros((n_slots,), bool)
+        self._prefill_fns = {}
+        self._decode_fn = None
+
+    # -- public API -----------------------------------------------------
+
+    def submit(self, tokens: list[int], max_new: int) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.requests[rid] = Request(rid, list(tokens), max_new)
+        self.sched.add(rid, len(tokens), max_new)
+        return rid
+
+    def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
+        """Drive admissions + decode until all submitted requests finish."""
+        for _ in range(max_steps):
+            self._admit_all()
+            if not self.live.any():
+                break
+            self._decode_once()
+        return {rid: r.out for rid, r in self.requests.items() if r.done}
+
+    # -- internals ------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        g = self.spec.group
+        return min(((n + g - 1) // g) * g, self.max_len)
+
+    def _get_prefill(self, s: int):
+        if s not in self._prefill_fns:
+            cfg, spec = self.cfg, self.spec
+
+            @jax.jit
+            def run(params, tokens, mask, prng):
+                positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+                return llama.forward_prefill(
+                    params, cfg, tokens, positions, mask, spec,
+                    compress=True, prng=prng)
+
+            self._prefill_fns[s] = run
+        return self._prefill_fns[s]
+
+    def _get_decode(self):
+        if self._decode_fn is None:
+            cfg, spec = self.cfg, self.spec
+
+            def one_slot(caches, token, position, pad_start, prng):
+                logits, caches = llama.forward_decode(
+                    params_c, cfg, token[None], position[None], caches,
+                    spec=spec, compress=True, pad_start=pad_start[None],
+                    prng=prng)
+                return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), caches
+
+            params_c = self.params
+
+            @jax.jit
+            def step(caches, tokens, positions, pad_starts, prng):
+                keys = jax.random.split(prng, tokens.shape[0])
+                return jax.vmap(one_slot, in_axes=(1, 0, 0, 0, 0),
+                                out_axes=(0, 1))(
+                    caches, tokens, positions, pad_starts, keys)
+
+            self._decode_fn = step
+        return self._decode_fn
+
+    def _admit_all(self):
+        while True:
+            rid = self.sched.next_admission()
+            if rid == -1:
+                break
+            slot = self.sched.admit(rid)
+            req = self.requests[rid]
+            self._slot_req[slot] = req
+            s = self._bucket(len(req.tokens))
+            toks = req.tokens[-s:]
+            tokens = np.full((1, s), self.pad_id, np.int32)
+            mask = np.zeros((1, s), np.int32)
+            tokens[0, s - len(toks):] = toks
+            mask[0, s - len(toks):] = 1
+            logits, caches1 = self._get_prefill(s)(
+                self.params, jnp.asarray(tokens), jnp.asarray(mask),
+                jax.random.PRNGKey(rid))
+            first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            # Splice the fresh cache into this slot. Prefill cache capacity
+            # equals spec capacity, so leaves line up exactly.
+            self.caches = jax.tree.map(
+                lambda full, one: full.at[:, slot].set(one), self.caches,
+                caches1)
+            self.cur_tok = self.cur_tok.at[slot].set(first)
+            self.positions = self.positions.at[slot].set(len(toks))
+            self.pad_start = self.pad_start.at[slot].set(s - len(toks))
+            self.live[slot] = True
+            req.out.append(int(first))
+            self._after_emit(slot, req)
+
+    def _decode_once(self):
+        step = self._get_decode()
+        nxt, self.caches = step(self.caches, self.cur_tok, self.positions,
+                                self.pad_start, jax.random.PRNGKey(7))
+        self.positions = self.positions + 1
+        self.cur_tok = nxt
+        toks = np.asarray(nxt)
+        for slot in range(self.n_slots):
+            req = self._slot_req[slot]
+            if req is None or req.done:
+                continue
+            req.out.append(int(toks[slot]))
+            self._after_emit(slot, req)
+
+    def _after_emit(self, slot: int, req: Request):
+        remaining = self.sched.step(slot)
+        hit_eos = self.eos is not None and req.out and req.out[-1] == self.eos
+        if remaining <= 0 or hit_eos:
+            req.done = True
+            self.sched.finish(slot)
+            self._slot_req[slot] = None
+            self.live[slot] = False
