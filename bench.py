@@ -11,6 +11,8 @@ Prints ONE JSON line:
    model equivalent), "unit": "tok/s", "vs_baseline": speedup vs bf16}
 """
 import json
+import signal
+import sys
 import time
 
 import numpy as np
@@ -18,7 +20,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _watchdog(seconds: int = 540):
+    """The tunneled TPU runtime can wedge (device ops hang indefinitely);
+    emit a diagnostic JSON line instead of hanging the driver."""
+    def fire(signum, frame):
+        print(json.dumps({
+            "metric": "decode attention tok/s/chip (INT4+rank4 KV, 8k ctx)",
+            "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+            "error": f"watchdog: TPU unresponsive after {seconds}s",
+        }))
+        sys.stdout.flush()
+        import os
+        os._exit(2)
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog()
     from gear_tpu import cache as C
     from gear_tpu.kernels import decode as K
     from gear_tpu.models import llama as L

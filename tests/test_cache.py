@@ -95,8 +95,9 @@ def test_append_and_flush(rng):
     k0, v0 = rand_kv(rng, spec, 32)
     cache = C.prefill(spec, k0, v0)
     ks, vs = rand_kv(rng, spec, spec.group)
+    step = jax.jit(lambda c, kn, vn: C.append(spec, c, kn, vn))
     for i in range(spec.group):
-        cache = C.append(spec, cache, ks[:, :, i:i+1], vs[:, :, i:i+1])
+        cache = step(cache, ks[:, :, i:i+1], vs[:, :, i:i+1])
     # One full group appended -> exactly one flush.
     assert int(cache.comp_len) == 64
     assert int(cache.resid_len) == 0
@@ -125,12 +126,14 @@ def test_streaming_matches_exact_attention(rng):
     cache = C.prefill(spec, k_all[:, :, :s0], v_all[:, :, :s0])
     hq = spec.num_kv_heads * 2
     sm = spec.head_dim ** -0.5
-    for i in range(16):
-        cache = C.append(spec, cache, k_all[:, :, s0+i:s0+i+1], v_all[:, :, s0+i:s0+i+1])
+    step = jax.jit(lambda c, kn, vn: C.append(spec, c, kn, vn))
+    att = jax.jit(lambda c, q: C.attend(spec, c, q, sm_scale=sm))
+    for i in range(6):
+        cache = step(cache, k_all[:, :, s0+i:s0+i+1], v_all[:, :, s0+i:s0+i+1])
         q = jnp.asarray(
             rng.standard_normal((spec.batch, hq, 1, spec.head_dim)).astype(np.float32)
         )
-        got = C.attend(spec, cache, q, sm_scale=sm)
+        got = att(cache, q)
         want = exact_attention(q, k_all[:, :, :s0+i+1], v_all[:, :, :s0+i+1], sm)
         assert rel(got, want) < 0.15, f"step {i}: {rel(got, want)}"  # INT4 on N(0,1) worst case
 

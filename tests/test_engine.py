@@ -57,16 +57,16 @@ def test_fused_int4_runs_past_flush(tiny):
     """Generate enough tokens to cross several flush boundaries."""
     cfg, params = tiny
     eng = mk_engine(cfg, params, "fused", quantize_bit=4)
-    out = eng.generate([[1, 2, 3], [4, 5, 6]], 40)
-    assert all(len(o) == 40 for o in out)
+    out = eng.generate([[1, 2, 3], [4, 5, 6]], 20)  # crosses a flush (group 16)
+    assert all(len(o) == 20 for o in out)
 
 
 def test_simulated_mode_runs(tiny):
     cfg, params = tiny
     eng = mk_engine(cfg, params, "simulated", compress_method="GEAR",
                     quantize_bit=8, group_size=16)
-    out = eng.generate([[1, 2, 3, 4], [9, 8, 7]], 20)
-    assert all(len(o) == 20 for o in out)
+    out = eng.generate([[1, 2, 3, 4], [9, 8, 7]], 10)
+    assert all(len(o) == 10 for o in out)
 
 
 def test_eos_early_stop(tiny):
@@ -80,9 +80,9 @@ def test_eos_early_stop(tiny):
                           EngineConfig(max_len=128, mode="raw",
                                        eos_token_id=int(first), sync_every=4),
                           batch_size=1)
-    out = eng.generate([[1, 2, 3]], 32)[0]
+    out = eng.generate([[1, 2, 3]], 24)[0]
     assert out[-1] == int(first)
-    assert len(out) <= 32
+    assert len(out) <= 24
 
 
 def test_left_padding_invariance(tiny):

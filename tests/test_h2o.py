@@ -31,15 +31,15 @@ def test_eviction_keeps_budget_and_recents(rng):
     spec = mk_spec(budget=16, important=8)
     c = h2o.init(spec)
     q = rand(rng, 1, 4, 1, 16)
-    for i in range(30):
-        c = h2o.append(spec, c, rand(rng, 1, 2, 1, 16),
-                       rand(rng, 1, 2, 1, 16), i)
-        _, c = h2o.attend(spec, c, q)
+    step = jax.jit(lambda c, k, v, p: h2o.attend(
+        spec, h2o.append(spec, c, k, v, p), q)[1])
+    for i in range(22):
+        c = step(c, rand(rng, 1, 2, 1, 16), rand(rng, 1, 2, 1, 16), i)
     assert int(c.length) <= spec.budget
     pos = np.asarray(c.pos)[0, 0]
     # The most recent positions must survive eviction.
-    assert 29 in pos.tolist()
-    assert 28 in pos.tolist()
+    assert 21 in pos.tolist()
+    assert 20 in pos.tolist()
 
 
 def test_heavy_hitter_survives(rng):
@@ -49,7 +49,7 @@ def test_heavy_hitter_survives(rng):
     big_k = jnp.ones((1, 1, 1, 16)) * 2.0  # attracts high scores for q ~ 1
     q = jnp.ones((1, 1, 1, 16))
     c = h2o.append(spec, c, big_k, big_k, 0)
-    for i in range(1, 20):
+    for i in range(1, 14):
         c = h2o.append(spec, c, rand(rng, 1, 1, 1, 16) * 0.1,
                        rand(rng, 1, 1, 1, 16), i)
         _, c = h2o.attend(spec, c, q)
