@@ -66,6 +66,17 @@ class InferenceEngine:
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
         self._recompress_fn = None
+        self.mesh = None
+
+    def shard(self, mesh) -> "InferenceEngine":
+        """Place params on a (data, model) mesh; caches inherit shardings
+        through jit propagation plus explicit constraints in the dryrun path
+        (gear_tpu.parallel.sharding for the rules)."""
+        from .parallel import sharding as sh
+
+        self.params = sh.shard_params(mesh, self.params)
+        self.mesh = mesh
+        return self
 
     # -- bucketing ------------------------------------------------------
 

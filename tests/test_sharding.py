@@ -63,3 +63,28 @@ def test_sharded_decode_matches_single_device():
     # bf16 reduction-order differences across shards: ~1% logit noise.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_engine_shard_generates():
+    """Engine with sharded params generates identically to unsharded."""
+    from gear_tpu.config import CompressionConfig
+    from gear_tpu.engine import EngineConfig, InferenceEngine
+    from gear_tpu.models import llama
+    from gear_tpu.parallel import sharding as sh
+
+    cfg = llama.ModelConfig.tiny(num_heads=4, num_kv_heads=4)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    comp = CompressionConfig(num_layers=cfg.num_layers,
+                             compress_method="GEARL", quantize_bit=8,
+                             group_size=16, rank=2, prefill_rank=2, loop=2)
+    prompts = [[1, 5, 9], [3, 7, 2]]
+    plain = InferenceEngine(cfg, params, comp,
+                            EngineConfig(max_len=64, mode="fused"),
+                            batch_size=2).generate(prompts, 8)
+    mesh = sh.make_mesh(data=2, model=4)
+    sharded = InferenceEngine(cfg, params, comp,
+                              EngineConfig(max_len=64, mode="fused"),
+                              batch_size=2).shard(mesh).generate(prompts, 8)
+    agree = np.mean([a == b for rp, rs in zip(plain, sharded)
+                     for a, b in zip(rp, rs)])
+    assert agree >= 0.75, f"sharded vs plain agreement {agree}"
