@@ -168,30 +168,60 @@ class InferenceEngine:
         return self._decode_fn
 
     def _get_recompress(self):
-        """Simulated-mode sliding-window recompression (stream_grouping)."""
+        """Simulated-mode gap-triggered recompression.
+
+        stream_grouping=True: only the newest ``gap`` tokens are compressed
+        (reference modeling_llama_new.py:973-996). stream_grouping=False
+        (reference default): the WHOLE cache is recompressed each trigger
+        (:1006-1022) — implemented as one jit specialization per trigger
+        length (a handful of compiles per generation)."""
         if self._recompress_fn is None:
             lcomp = self.comp.layer(0)
             gap = lcomp.streaming_gap
 
-            @jax.jit
-            def recompress(caches, end):
-                start = end - gap
+            if lcomp.stream_grouping:
+                @jax.jit
+                def recompress(caches, end):
+                    start = end - gap
 
-                def one_layer(lc):
-                    kw = jax.lax.dynamic_slice_in_dim(lc.k, start, gap, 2)
-                    vw = jax.lax.dynamic_slice_in_dim(lc.v, start, gap, 2)
-                    kc, vc = simulated.compress_kv(
-                        kw.astype(jnp.float32), vw.astype(jnp.float32),
-                        lcomp, prefill=False)
-                    return lc.replace(
-                        k=jax.lax.dynamic_update_slice_in_dim(
-                            lc.k, kc.astype(lc.k.dtype), start, 2),
-                        v=jax.lax.dynamic_update_slice_in_dim(
-                            lc.v, vc.astype(lc.v.dtype), start, 2))
+                    def one_layer(lc):
+                        kw = jax.lax.dynamic_slice_in_dim(lc.k, start, gap, 2)
+                        vw = jax.lax.dynamic_slice_in_dim(lc.v, start, gap, 2)
+                        kc, vc = simulated.compress_kv(
+                            kw.astype(jnp.float32), vw.astype(jnp.float32),
+                            lcomp, prefill=False)
+                        return lc.replace(
+                            k=jax.lax.dynamic_update_slice_in_dim(
+                                lc.k, kc.astype(lc.k.dtype), start, 2),
+                            v=jax.lax.dynamic_update_slice_in_dim(
+                                lc.v, vc.astype(lc.v.dtype), start, 2))
 
-                return jax.vmap(one_layer)(caches)
+                    return jax.vmap(one_layer)(caches)
 
-            self._recompress_fn = recompress
+                self._recompress_fn = recompress
+            else:
+                fns: dict[int, Any] = {}
+
+                def recompress(caches, end):
+                    end = int(end)
+                    if end not in fns:
+                        @jax.jit
+                        def full(caches):
+                            def one_layer(lc):
+                                kc, vc = simulated.compress_kv(
+                                    lc.k[:, :, :end].astype(jnp.float32),
+                                    lc.v[:, :, :end].astype(jnp.float32),
+                                    lcomp, prefill=False)
+                                return lc.replace(
+                                    k=lc.k.at[:, :, :end].set(
+                                        kc.astype(lc.k.dtype)),
+                                    v=lc.v.at[:, :, :end].set(
+                                        vc.astype(lc.v.dtype)))
+                            return jax.vmap(one_layer)(caches)
+                        fns[end] = full
+                    return fns[end](caches)
+
+                self._recompress_fn = recompress
         return self._recompress_fn
 
     # -- public API -----------------------------------------------------

@@ -132,3 +132,17 @@ def test_pallas_attn_impl_matches_xla(tiny):
     agree = np.mean([a == b for ra, rp in zip(out_xla, out_pal)
                      for a, b in zip(ra, rp)])
     assert agree >= 0.8, f"pallas vs xla agreement {agree}"
+
+
+def test_simulated_full_recompress_mode(tiny):
+    """stream_grouping=False (reference default): whole-cache recompression
+    at gap boundaries."""
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "simulated", compress_method="GEARL",
+                    quantize_bit=8, group_size=16, stream_grouping=False)
+    out = eng.generate([[1, 2, 3, 4], [9, 8, 7]], 20)  # crosses gap=16
+    assert all(len(o) == 20 for o in out)
+    eng2 = mk_engine(cfg, params, "simulated", compress_method="GEARL",
+                     quantize_bit=8, group_size=16, stream_grouping=True)
+    out2 = eng2.generate([[1, 2, 3, 4], [9, 8, 7]], 20)
+    assert all(len(o) == 20 for o in out2)
