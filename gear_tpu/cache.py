@@ -56,6 +56,9 @@ class CacheSpec:
     rank: int = 2         # decode-flush rank for the low-rank error bases
     prefill_rank: int = 4
     lowrank_loop: int = 3
+    base_bits: int = 16   # 16 = bf16 P/Q bases; 8 = int8-quantized bases
+                          # (reference: true_poweriteration_quantized,
+                          # old_models/CompressUtils/TrueCompressFunction.py:166-207)
     dtype: jnp.dtype = jnp.bfloat16
     sideband_dtype: jnp.dtype = jnp.bfloat16
 
@@ -66,6 +69,8 @@ class CacheSpec:
             raise ValueError("bits must divide 32")
         if self.group % (32 // self.bits) != 0:
             raise ValueError("group must be a multiple of feats-per-int32")
+        if self.base_bits not in (8, 16):
+            raise ValueError("base_bits must be 8 or 16")
 
     @property
     def fpi(self) -> int:
@@ -110,8 +115,11 @@ class CacheSpec:
         total += nbytes((b, h, t, self.v_words), jnp.int32)
         total += 2 * b * h * t * self.v_groups_per_token * el
         total += 2 * nbytes((b, h, self.group, d), self.dtype)
-        total += 2 * b * h * self.n_blocks * d * self.r_store * 2
-        total += 2 * b * h * t * self.r_store * 2
+        base_el = 1 if self.base_bits == 8 else 2
+        total += 2 * b * h * self.n_blocks * d * self.r_store * base_el
+        total += 2 * b * h * t * self.r_store * base_el
+        if self.base_bits == 8:  # per-(block, rank) f32 scales
+            total += 4 * b * h * self.n_blocks * self.r_store * 4
         return total
 
     def bytes_fp16_baseline(self) -> int:
@@ -145,6 +153,11 @@ class LayerCache:
     kqt: jax.Array       # [B, H, r_store, max_len]
     vpt: jax.Array       # [B, H, n_blocks, r_store, head_dim]
     vqt: jax.Array       # [B, H, r_store, max_len]
+    # int8-base scales (all-ones when base_bits == 16).
+    kp_scale: jax.Array  # [B, H, n_blocks, r_store]
+    kqt_scale: jax.Array  # [B, H, r_store, n_blocks]
+    vpt_scale: jax.Array  # [B, H, n_blocks, r_store]
+    vqt_scale: jax.Array  # [B, H, r_store, n_blocks]
     # Lengths (tokens). comp_len is always a multiple of group.
     comp_len: jax.Array  # int32 scalar
     resid_len: jax.Array  # int32 scalar
@@ -157,6 +170,7 @@ class LayerCache:
 def init_layer_cache(spec: CacheSpec) -> LayerCache:
     b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
     sb = spec.sideband_dtype
+    base_dt = jnp.int8 if spec.base_bits == 8 else spec.dtype
     return LayerCache(
         k_codes=jnp.zeros((b, h, spec.v_words, spec.max_len), jnp.int32),
         k_scale=jnp.zeros((b, h, spec.n_blocks, d), sb),
@@ -166,10 +180,14 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
         v_mn=jnp.zeros((b, h, spec.v_groups_per_token, spec.max_len), sb),
         k_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
         v_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
-        kp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), spec.dtype),
-        kqt=jnp.zeros((b, h, spec.r_store, spec.max_len), spec.dtype),
-        vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), spec.dtype),
-        vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), spec.dtype),
+        kp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), base_dt),
+        kqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
+        vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), base_dt),
+        vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
+        kp_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
+        kqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
+        vpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
+        vqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
         comp_len=jnp.zeros((), jnp.int32),
         resid_len=jnp.zeros((), jnp.int32),
     )
@@ -249,8 +267,21 @@ def _error_bases(spec: CacheSpec, x, x_hat, rank: int, key):
     if pad:
         p = jnp.pad(p, ((0, 0),) * (p.ndim - 1) + ((0, pad),))
         q = jnp.pad(q, ((0, 0),) * (q.ndim - 1) + ((0, pad),))
+    qt = jnp.swapaxes(q, -1, -2)  # [..., r_store, S]
+    if spec.base_bits == 8:
+        # int8 symmetric absmax per rank column (reference
+        # true_poweriteration_quantized semantics, 8-bit bases).
+        p_absmax = jnp.max(jnp.abs(p), axis=-2, keepdims=True)   # over D
+        p_scale = jnp.maximum(p_absmax, 1e-12) / 127.0
+        p8 = jnp.clip(jnp.round(p / p_scale), -127, 127).astype(jnp.int8)
+        qt_absmax = jnp.max(jnp.abs(qt), axis=-1, keepdims=True)  # over S
+        qt_scale = jnp.maximum(qt_absmax, 1e-12) / 127.0
+        qt8 = jnp.clip(jnp.round(qt / qt_scale), -127, 127).astype(jnp.int8)
+        return p8, qt8, p_scale[..., 0, :], qt_scale[..., 0]
+    ones_p = jnp.ones(p.shape[:-2] + (p.shape[-1],), jnp.float32)
+    ones_q = jnp.ones(qt.shape[:-1], jnp.float32)
     # Q returned TRANSPOSED [..., r_store, S] for the lane-major cache layout.
-    return p.astype(spec.dtype), jnp.swapaxes(q, -1, -2).astype(spec.dtype)
+    return p.astype(spec.dtype), qt.astype(spec.dtype), ones_p, ones_q
 
 
 def prefill(
@@ -292,15 +323,26 @@ def prefill(
             kk, kv = jax.random.split(key)
             k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
             v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
-            kp1, kqt1 = _error_bases(spec, kb, k_hat, spec.prefill_rank, kk)
-            vp1, vqt1 = _error_bases(spec, vb, v_hat, spec.prefill_rank, kv)
-            # Replicate the prefill P across its blocks; Q columns in place.
+            kp1, kqt1, kps1, kqs1 = _error_bases(
+                spec, kb, k_hat, spec.prefill_rank, kk)
+            vp1, vqt1, vps1, vqs1 = _error_bases(
+                spec, vb, v_hat, spec.prefill_rank, kv)
+            # Replicate the prefill P (and its scales) across its blocks;
+            # Q columns in place, per-block scale = the prefill scale.
             vpt1 = jnp.swapaxes(vp1, -1, -2)  # [B,H,R,D]
             cache = cache.replace(
                 kp=cache.kp.at[:, :, :nbs].set(kp1[:, :, None].repeat(nbs, 2)),
                 kqt=cache.kqt.at[:, :, :, :n_full].set(kqt1),
                 vpt=cache.vpt.at[:, :, :nbs].set(vpt1[:, :, None].repeat(nbs, 2)),
                 vqt=cache.vqt.at[:, :, :, :n_full].set(vqt1),
+                kp_scale=cache.kp_scale.at[:, :, :nbs].set(
+                    kps1[:, :, None].repeat(nbs, 2)),
+                kqt_scale=cache.kqt_scale.at[:, :, :, :nbs].set(
+                    kqs1[:, :, :, None].repeat(nbs, 3)),
+                vpt_scale=cache.vpt_scale.at[:, :, :nbs].set(
+                    vps1[:, :, None].repeat(nbs, 2)),
+                vqt_scale=cache.vqt_scale.at[:, :, :, :nbs].set(
+                    vqs1[:, :, :, None].repeat(nbs, 3)),
             )
 
     tail = s - n_full
@@ -356,8 +398,8 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
         kk, kv = jax.random.split(jax.random.fold_in(key, 0))
         k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
         v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
-        kp1, kqt1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
-        vp1, vqt1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
+        kp1, kqt1, kps1, kqs1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
+        vp1, vqt1, vps1, vqs1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
         upd.update(
             kp=jax.lax.dynamic_update_slice(
                 cache.kp, kp1[:, :, None], (0, 0, blk, 0, 0)
@@ -370,6 +412,14 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
             ),
             vqt=jax.lax.dynamic_update_slice(
                 cache.vqt, vqt1, (0, 0, 0, cache.comp_len)),
+            kp_scale=jax.lax.dynamic_update_slice(
+                cache.kp_scale, kps1[:, :, None], (0, 0, blk, 0)),
+            kqt_scale=jax.lax.dynamic_update_slice(
+                cache.kqt_scale, kqs1[:, :, :, None], (0, 0, 0, blk)),
+            vpt_scale=jax.lax.dynamic_update_slice(
+                cache.vpt_scale, vps1[:, :, None], (0, 0, blk, 0)),
+            vqt_scale=jax.lax.dynamic_update_slice(
+                cache.vqt_scale, vqs1[:, :, :, None], (0, 0, 0, blk)),
         )
     return cache.replace(**upd)
 
@@ -407,6 +457,39 @@ def append(
     )
 
 
+def base_kp(spec: CacheSpec, cache: LayerCache) -> jax.Array:
+    """Dequantized K low-rank P factor [B,H,NB,D,R] f32."""
+    kp = cache.kp.astype(jnp.float32)
+    if spec.base_bits == 8:
+        kp = kp * cache.kp_scale[:, :, :, None, :]
+    return kp
+
+
+def base_vpt(spec: CacheSpec, cache: LayerCache) -> jax.Array:
+    """Dequantized V low-rank P factor (transposed) [B,H,NB,R,D] f32."""
+    vpt = cache.vpt.astype(jnp.float32)
+    if spec.base_bits == 8:
+        vpt = vpt * cache.vpt_scale[:, :, :, :, None]
+    return vpt
+
+
+def base_kqt(spec: CacheSpec, cache: LayerCache) -> jax.Array:
+    """Dequantized K low-rank Q factor (transposed) [B,H,R,T] f32."""
+    kqt = cache.kqt.astype(jnp.float32)
+    if spec.base_bits == 8:
+        scale = jnp.repeat(cache.kqt_scale, spec.group, axis=-1)
+        kqt = kqt * scale
+    return kqt
+
+
+def base_vqt(spec: CacheSpec, cache: LayerCache) -> jax.Array:
+    vqt = cache.vqt.astype(jnp.float32)
+    if spec.base_bits == 8:
+        scale = jnp.repeat(cache.vqt_scale, spec.group, axis=-1)
+        vqt = vqt * scale
+    return vqt
+
+
 # ---------------------------------------------------------------------------
 # Attention against the compressed cache (XLA reference path).
 # The Pallas fused kernel (gear_tpu.kernels.decode) implements the same
@@ -420,10 +503,10 @@ def dequantize_kv(spec: CacheSpec, cache: LayerCache):
     v = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
     b, h = spec.batch, spec.num_kv_heads
     nb, g, r = spec.n_blocks, spec.group, spec.r_store
-    kqt = cache.kqt.reshape(b, h, r, nb, g).astype(jnp.float32)
-    vqt = cache.vqt.reshape(b, h, r, nb, g).astype(jnp.float32)
-    k_corr = jnp.einsum("bhrng,bhndr->bhngd", kqt, cache.kp.astype(jnp.float32))
-    v_corr = jnp.einsum("bhrng,bhnrd->bhngd", vqt, cache.vpt.astype(jnp.float32))
+    kqt = base_kqt(spec, cache).reshape(b, h, r, nb, g)
+    vqt = base_vqt(spec, cache).reshape(b, h, r, nb, g)
+    k_corr = jnp.einsum("bhrng,bhndr->bhngd", kqt, base_kp(spec, cache))
+    v_corr = jnp.einsum("bhrng,bhnrd->bhngd", vqt, base_vpt(spec, cache))
     k = k + k_corr.reshape(k.shape)
     v = v + v_corr.reshape(v.shape)
     return k, v
@@ -463,8 +546,8 @@ def attend(
     k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
     scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)  # k_deq [B,H,T,D]
     # low-rank correction: q·P per block, dotted with per-token Q columns
-    kp = cache.kp.astype(jnp.float32)
-    kqt = cache.kqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    kp = base_kp(spec, cache)
+    kqt = base_kqt(spec, cache).reshape(b, hkv, r, nb, g)
     qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
     scores_lr = jnp.einsum("bhqnr,bhrng->bhqng", qp, kqt).reshape(b, hkv, gq * qn, t)
     # residual tier
@@ -490,8 +573,8 @@ def attend(
     # --- PV: packed prefix ---
     v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
     out = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
-    vpt = cache.vpt.astype(jnp.float32)
-    vqt = cache.vqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    vpt = base_vpt(spec, cache)
+    vqt = base_vqt(spec, cache).reshape(b, hkv, r, nb, g)
     wv = jnp.einsum("bhqng,bhrng->bhqnr", wc.reshape(b, hkv, gq * qn, nb, g), vqt)
     out = out + jnp.einsum("bhqnr,bhnrd->bhqd", wv, vpt)
     out = out + jnp.einsum("bhqr,bhrd->bhqd", wr, cache.v_resid.astype(jnp.float32))
@@ -530,8 +613,8 @@ def attend_partial(
 
     k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
     scores = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)
-    kp = cache.kp.astype(jnp.float32)
-    kqt = cache.kqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    kp = base_kp(spec, cache)
+    kqt = base_kqt(spec, cache).reshape(b, hkv, r, nb, g)
     qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
     scores = scores + jnp.einsum(
         "bhqnr,bhrng->bhqng", qp, kqt).reshape(b, hkv, gq * qn, t)
@@ -560,8 +643,8 @@ def attend_partial(
     wc = w[..., :t]
     v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
     acc = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
-    vpt = cache.vpt.astype(jnp.float32)
-    vqt = cache.vqt.reshape(b, hkv, r, nb, g).astype(jnp.float32)
+    vpt = base_vpt(spec, cache)
+    vqt = base_vqt(spec, cache).reshape(b, hkv, r, nb, g)
     wv = jnp.einsum("bhqng,bhrng->bhqnr",
                     wc.reshape(b, hkv, gq * qn, nb, g), vqt)
     acc = acc + jnp.einsum("bhqnr,bhnrd->bhqd", wv, vpt)

@@ -303,8 +303,18 @@ def attend_fused(
     if gq_pad != gq_n:
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
 
-    kp = cache.kp.astype(jnp.float32)
+    from .. import cache as _cache_mod
+
+    kp = _cache_mod.base_kp(spec, cache)
     qp = jnp.einsum("bhqd,bhndr->bhnrq", qf, kp)  # [B,H,NB,R,GQ]
+    # int8 bases are dequantized to bf16 views for the kernel (kernel-native
+    # int8 base reads are a later optimization); HBM residency stays int8.
+    kqt_in = _cache_mod.base_kqt(spec, cache).astype(jnp.bfloat16) \
+        if spec.base_bits == 8 else cache.kqt
+    vqt_in = _cache_mod.base_vqt(spec, cache).astype(jnp.bfloat16) \
+        if spec.base_bits == 8 else cache.vqt
+    vpt_in = _cache_mod.base_vpt(spec, cache).astype(jnp.bfloat16) \
+        if spec.base_bits == 8 else cache.vpt
 
     flat = lambda x: x.reshape(bhn, *x.shape[2:])
     if pad_start is None:
@@ -319,12 +329,12 @@ def attend_fused(
         flat(cache.k_codes),
         flat(cache.k_scale),
         flat(cache.k_mn),
-        flat(cache.kqt),
+        flat(kqt_in),
         flat(cache.v_codes),
         flat(cache.v_scale),
         flat(cache.v_mn),
-        flat(cache.vqt),
-        flat(cache.vpt),
+        flat(vqt_in),
+        flat(vpt_in),
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
         blocks_per_chunk=blocks_per_chunk, interpret=interpret,
     )

@@ -74,6 +74,10 @@ def split_cache(spec: CacheSpec, cache: LayerCache, n_shards: int
         kqt=split_t(cache.kqt, 3),
         vpt=split_t(cache.vpt, 2),
         vqt=split_t(cache.vqt, 3),
+        kp_scale=split_t(cache.kp_scale, 2),
+        kqt_scale=split_t(cache.kqt_scale, 3),
+        vpt_scale=split_t(cache.vpt_scale, 2),
+        vqt_scale=split_t(cache.vqt_scale, 3),
         comp_len=local_comp,
         resid_len=cache.resid_len * is_last,
     )

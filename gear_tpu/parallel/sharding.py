@@ -77,6 +77,8 @@ def cache_pspecs(stacked: bool = True) -> LayerCache:
         k_resid=ps(None, None), v_resid=ps(None, None),
         kp=ps(None, None, None), kqt=ps(None, None),
         vpt=ps(None, None, None), vqt=ps(None, None),
+        kp_scale=ps(None, None), kqt_scale=ps(None, None),
+        vpt_scale=ps(None, None), vqt_scale=ps(None, None),
         comp_len=scalar, resid_len=scalar,
     )
 

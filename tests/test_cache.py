@@ -211,3 +211,48 @@ def test_memory_footprint_reported():
                    dtype=jnp.bfloat16, sideband_dtype=jnp.bfloat16)
     ratio = spec.bytes_fp16_baseline() / spec.bytes_compressed()
     assert ratio > 2.5, ratio  # INT4 + sidebands + bases + residual
+
+
+# -------------------------- int8-quantized bases --------------------------
+
+def test_int8_bases_reconstruction_close_to_bf16(rng):
+    """base_bits=8 (reference true_poweriteration_quantized) reconstructs
+    nearly as well as full-precision bases and shrinks the footprint."""
+    s16 = mk_spec(bits=2, prefill_rank=8)
+    s8 = mk_spec(bits=2, prefill_rank=8, base_bits=8)
+    k, v = rand_kv(rng, s16, 128)
+    c16 = C.prefill(s16, k, v)
+    c8 = C.prefill(s8, k, v)
+    k16, _ = C.dequantize_kv(s16, c16)
+    k8, _ = C.dequantize_kv(s8, c8)
+    e16 = rel(k16[:, :, :128], k)
+    e8 = rel(k8[:, :, :128], k)
+    assert e8 < e16 * 1.05, (e8, e16)  # int8 bases cost <5% extra error
+    assert c8.kp.dtype == jnp.int8
+    # Memory accounting shrinks.
+    assert s8.bytes_compressed() < s16.bytes_compressed()
+
+
+def test_int8_bases_attend_matches_reference(rng):
+    spec = mk_spec(base_bits=8)
+    k, v = rand_kv(rng, spec, 96)
+    cache = C.prefill(spec, k, v)
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 4, 1, spec.head_dim)).astype(np.float32))
+    got = C.attend(spec, cache, q)
+    k_ref, v_ref = reconstruct_valid(spec, cache)
+    want = exact_attention(q, k_ref, v_ref, spec.head_dim ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_int8_bases_flush(rng):
+    spec = mk_spec(base_bits=8)
+    cache = C.prefill(spec, *rand_kv(rng, spec, 32))
+    ks, vs = rand_kv(rng, spec, spec.group)
+    step = jax.jit(lambda c, kn, vn: C.append(spec, c, kn, vn))
+    for i in range(spec.group):
+        cache = step(cache, ks[:, :, i:i+1], vs[:, :, i:i+1])
+    assert int(cache.comp_len) == 64
+    k_rec, _ = C.dequantize_kv(spec, cache)
+    assert rel(k_rec[:, :, 32:64], ks) < 0.1

@@ -107,3 +107,14 @@ def test_kernel_empty_residual_after_flush(rng):
         rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
     got = K.attend_fused(spec, cache, q, interpret=True)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_kernel_int8_bases(rng):
+    spec = mk_spec(base_bits=8)
+    cache = rand_cache(rng, spec, 192)
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
