@@ -33,7 +33,6 @@ low-rank correction + residual) with one online softmax across both tiers.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -18,14 +18,12 @@ Modes:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import cache as kvcache
 from .config import CompressionConfig
 from .core import simulated
 from .models import llama

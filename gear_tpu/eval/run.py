@@ -15,7 +15,6 @@ gear_tpu/eval/harness.py for extraction rules).
 from __future__ import annotations
 
 import argparse
-import json
 from pathlib import Path
 
 

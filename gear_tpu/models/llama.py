@@ -20,7 +20,7 @@ Mixtral adds MoE layers (gear_tpu/models/mixtral.py).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from typing import Any
 
 import jax

@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import cache as kvcache
-from ..cache import CacheSpec, LayerCache
-from . import llama
+from ..cache import CacheSpec
 from .llama import (ModelConfig, _split_heads, apply_rope, causal_attention,
                     logits_from_hidden, raw_append, raw_attend, raw_prefill,
                     rmsnorm, rope_cos_sin)
