@@ -146,3 +146,35 @@ def test_simulated_full_recompress_mode(tiny):
                      quantize_bit=8, group_size=16, stream_grouping=True)
     out2 = eng2.generate([[1, 2, 3, 4], [9, 8, 7]], 20)
     assert all(len(o) == 20 for o in out2)
+
+
+def test_temperature_sampling(tiny):
+    """temperature > 0 produces varied but valid sequences."""
+    cfg, params = tiny
+    comp = CompressionConfig(num_layers=cfg.num_layers, compress_method="NONE")
+    eng = InferenceEngine(cfg, params, comp,
+                          EngineConfig(max_len=64, mode="raw",
+                                       temperature=1.0), batch_size=1)
+    out1 = eng.generate([[1, 2, 3]], 8, prng=jax.random.PRNGKey(0))
+    out2 = eng.generate([[1, 2, 3]], 8, prng=jax.random.PRNGKey(1))
+    assert all(0 <= t < cfg.vocab_size for t in out1[0] + out2[0])
+    assert out1 != out2  # different keys -> different samples
+
+
+def test_int2_fused_engine(tiny):
+    """INT2 (the reference's canonical accuracy config bit-width) runs
+    through the fused path end to end."""
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "fused", quantize_bit=2)
+    out = eng.generate([[1, 2, 3], [4, 5]], 20)
+    assert all(len(o) == 20 for o in out)
+
+
+def test_per_layer_config_overrides():
+    """Heterogeneous per-layer policies via CompressionConfig.overrides."""
+    comp = CompressionConfig(num_layers=4, quantize_bit=4,
+                             overrides=((1, (("quantize_bit", 8),)),
+                                        (3, (("compress_method", "NONE"),))))
+    layers = comp.per_layer()
+    assert [l.quantize_bit for l in layers] == [4, 8, 4, 4]
+    assert layers[3].compress_method == "NONE"
