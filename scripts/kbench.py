@@ -1,0 +1,120 @@
+"""Kernel micro-benchmark on the real TPU: fused decode vs bf16 baseline.
+
+Usage: python scripts/kbench.py [variant ...]
+  variants: base (bf16 XLA), fused8, fused16, fused32 (blocks_per_chunk)
+
+Prints one line per variant: name, us/step, effective GB/s over the bytes
+that variant must read per step. Carries a SIGALRM watchdog (the tunneled
+runtime can wedge; see CLAUDE.md).
+"""
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def watchdog(seconds):
+    def fire(signum, frame):
+        print(f"WATCHDOG: TPU unresponsive after {seconds}s", flush=True)
+        import os
+        os._exit(2)
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+
+
+HEADS = int(sys.argv[sys.argv.index("--heads") + 1]) if "--heads" in sys.argv else 8
+CTX = 8192
+D = 128
+N = 200
+
+
+def main():
+    watchdog(560)
+    from gear_tpu import cache as C
+    from gear_tpu.kernels import decode as K
+    from gear_tpu.models import llama as L
+
+    variants = [a for a in sys.argv[1:] if not a.startswith("--")
+                and not a.isdigit()] or ["base", "fused8", "fused16"]
+
+    rng = np.random.default_rng(0)
+    spec = C.CacheSpec(batch=1, num_kv_heads=HEADS, head_dim=D,
+                       max_len=CTX, bits=4, group=64, rank=4, prefill_rank=4,
+                       lowrank_loop=3, dtype=jnp.bfloat16,
+                       sideband_dtype=jnp.bfloat16)
+    shape = (1, HEADS, CTX, D)
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    cache = C.prefill(spec, k, v)
+    np.asarray(cache.comp_len)
+    rc = L.raw_prefill(spec, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    np.asarray(rc.k[0, 0, 0, :1])
+    q = jnp.asarray(rng.standard_normal((1, HEADS, 1, D)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    comp_bytes = spec.bytes_compressed()
+    bf16_bytes = spec.bytes_fp16_baseline()
+
+    def bench(name, f, c, q, nbytes):
+        @jax.jit
+        def loop(cache, q):
+            def body(i, x):
+                return f(cache, x + i * 1e-9).astype(q.dtype)
+            return jax.lax.fori_loop(0, N, body, q)
+        t0 = time.time()
+        np.asarray(loop(c, q))  # compile + warm
+        print(f"{name}: compiled+warm in {time.time()-t0:.1f}s", flush=True)
+        best = None
+        for trial in range(3):
+            q2 = q + (trial + 1) * 0.01
+            np.asarray(q2)
+            t0 = time.time()
+            np.asarray(loop(c, q2))
+            dt = (time.time() - t0) / N
+            best = dt if best is None else min(best, dt)
+        gbs = nbytes / best / 1e9
+        print(f"{name}: {best*1e6:.1f} us/step  {gbs:.0f} GB/s "
+              f"({nbytes/1e6:.1f} MB)", flush=True)
+        return best
+
+    for name in variants:
+        if name == "base":
+            bench("base", lambda c, x: L.raw_attend(spec, c, x), rc, q,
+                  bf16_bytes)
+        elif name.startswith("flash"):
+            from gear_tpu.kernels import flash as F
+            ck = int(name[5:]) if len(name) > 5 else 1024
+            bench(name,
+                  lambda c, x, ck=ck: F.raw_attend_flash(spec, c, x, chunk=ck),
+                  rc, q, bf16_bytes)
+        elif name.startswith("fused"):
+            # fused<cb>[:abl1+abl2]  e.g. fused32:nolr+nov
+            spec_s = name[5:]
+            abl = frozenset()
+            if ":" in spec_s:
+                spec_s, abl_s = spec_s.split(":", 1)
+                abl = frozenset(abl_s.split("+"))
+            cb = int(spec_s)
+            bench(name,
+                  lambda c, x, cb=cb, abl=abl: K.attend_fused(
+                      spec, c, x, blocks_per_chunk=cb, ablate=abl),
+                  cache, q, comp_bytes)
+        else:
+            print(f"unknown variant {name}")
+
+    # correctness spot-check on the last fused variant
+    got = np.asarray(K.attend_fused(spec, cache, q, blocks_per_chunk=8),
+                     np.float32)
+    want = np.asarray(C.attend(spec, cache, q), np.float32)
+    rel = float(np.abs(got - want).mean() / np.abs(want).mean())
+    print(f"fused rel err vs XLA reference: {rel:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
