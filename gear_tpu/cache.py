@@ -148,12 +148,12 @@ class LayerCache:
     # Low-rank error bases, per time-block. Q factors stored TRANSPOSED
     # ([R, T]) and V's P factor row-major per rank ([NB, R, D]) so the
     # kernel reads full-lane tiles.
-    kp: jax.Array        # [B, H, n_blocks, head_dim, r_store]
+    kpt: jax.Array       # [B, H, n_blocks, r_store, head_dim]
     kqt: jax.Array       # [B, H, r_store, max_len]
     vpt: jax.Array       # [B, H, n_blocks, r_store, head_dim]
     vqt: jax.Array       # [B, H, r_store, max_len]
     # int8-base scales (all-ones when base_bits == 16).
-    kp_scale: jax.Array  # [B, H, n_blocks, r_store]
+    kpt_scale: jax.Array  # [B, H, n_blocks, r_store]
     kqt_scale: jax.Array  # [B, H, r_store, n_blocks]
     vpt_scale: jax.Array  # [B, H, n_blocks, r_store]
     vqt_scale: jax.Array  # [B, H, r_store, n_blocks]
@@ -179,11 +179,11 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
         v_mn=jnp.zeros((b, h, spec.v_groups_per_token, spec.max_len), sb),
         k_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
         v_resid=jnp.zeros((b, h, spec.group, d), spec.dtype),
-        kp=jnp.zeros((b, h, spec.n_blocks, d, spec.r_store), base_dt),
+        kpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), base_dt),
         kqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
         vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), base_dt),
         vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
-        kp_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
+        kpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
         kqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
         vpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
         vqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
@@ -202,7 +202,7 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
 
     Quantization runs directly on the time-grouped view (no transposes):
     min/max over each ``group``-token window per channel.
-    Returns (packed int32 [B,H,S,D//fpi], scale/mn [B,H,S//group,D]).
+    Returns (packed int32 [B,H,WD,S], scale/mn [B,H,S//group,D]).
     """
     b, h, s_len, d = k.shape
     g = spec.group
@@ -328,13 +328,14 @@ def prefill(
                 spec, vb, v_hat, spec.prefill_rank, kv)
             # Replicate the prefill P (and its scales) across its blocks;
             # Q columns in place, per-block scale = the prefill scale.
+            kpt1 = jnp.swapaxes(kp1, -1, -2)  # [B,H,R,D]
             vpt1 = jnp.swapaxes(vp1, -1, -2)  # [B,H,R,D]
             cache = cache.replace(
-                kp=cache.kp.at[:, :, :nbs].set(kp1[:, :, None].repeat(nbs, 2)),
+                kpt=cache.kpt.at[:, :, :nbs].set(kpt1[:, :, None].repeat(nbs, 2)),
                 kqt=cache.kqt.at[:, :, :, :n_full].set(kqt1),
                 vpt=cache.vpt.at[:, :, :nbs].set(vpt1[:, :, None].repeat(nbs, 2)),
                 vqt=cache.vqt.at[:, :, :, :n_full].set(vqt1),
-                kp_scale=cache.kp_scale.at[:, :, :nbs].set(
+                kpt_scale=cache.kpt_scale.at[:, :, :nbs].set(
                     kps1[:, :, None].repeat(nbs, 2)),
                 kqt_scale=cache.kqt_scale.at[:, :, :, :nbs].set(
                     kqs1[:, :, :, None].repeat(nbs, 3)),
@@ -367,7 +368,7 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
     g = spec.group
     kb = cache.k_resid.astype(jnp.float32)
     vb = cache.v_resid.astype(jnp.float32)
-    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,g,WD],[B,H,1,D]
+    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,WD,g],[B,H,1,D]
     v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
 
     blk = cache.comp_len // g
@@ -400,8 +401,9 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
         kp1, kqt1, kps1, kqs1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
         vp1, vqt1, vps1, vqs1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
         upd.update(
-            kp=jax.lax.dynamic_update_slice(
-                cache.kp, kp1[:, :, None], (0, 0, blk, 0, 0)
+            kpt=jax.lax.dynamic_update_slice(
+                cache.kpt, jnp.swapaxes(kp1, -1, -2)[:, :, None],
+                (0, 0, blk, 0, 0)
             ),
             kqt=jax.lax.dynamic_update_slice(
                 cache.kqt, kqt1, (0, 0, 0, cache.comp_len)),
@@ -411,8 +413,8 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
             ),
             vqt=jax.lax.dynamic_update_slice(
                 cache.vqt, vqt1, (0, 0, 0, cache.comp_len)),
-            kp_scale=jax.lax.dynamic_update_slice(
-                cache.kp_scale, kps1[:, :, None], (0, 0, blk, 0)),
+            kpt_scale=jax.lax.dynamic_update_slice(
+                cache.kpt_scale, kps1[:, :, None], (0, 0, blk, 0)),
             kqt_scale=jax.lax.dynamic_update_slice(
                 cache.kqt_scale, kqs1[:, :, :, None], (0, 0, 0, blk)),
             vpt_scale=jax.lax.dynamic_update_slice(
@@ -456,12 +458,12 @@ def append(
     )
 
 
-def base_kp(spec: CacheSpec, cache: LayerCache) -> jax.Array:
-    """Dequantized K low-rank P factor [B,H,NB,D,R] f32."""
-    kp = cache.kp.astype(jnp.float32)
+def base_kpt(spec: CacheSpec, cache: LayerCache) -> jax.Array:
+    """Dequantized K low-rank P factor (transposed) [B,H,NB,R,D] f32."""
+    kpt = cache.kpt.astype(jnp.float32)
     if spec.base_bits == 8:
-        kp = kp * cache.kp_scale[:, :, :, None, :]
-    return kp
+        kpt = kpt * cache.kpt_scale[:, :, :, :, None]
+    return kpt
 
 
 def base_vpt(spec: CacheSpec, cache: LayerCache) -> jax.Array:
@@ -504,7 +506,7 @@ def dequantize_kv(spec: CacheSpec, cache: LayerCache):
     nb, g, r = spec.n_blocks, spec.group, spec.r_store
     kqt = base_kqt(spec, cache).reshape(b, h, r, nb, g)
     vqt = base_vqt(spec, cache).reshape(b, h, r, nb, g)
-    k_corr = jnp.einsum("bhrng,bhndr->bhngd", kqt, base_kp(spec, cache))
+    k_corr = jnp.einsum("bhrng,bhnrd->bhngd", kqt, base_kpt(spec, cache))
     v_corr = jnp.einsum("bhrng,bhnrd->bhngd", vqt, base_vpt(spec, cache))
     k = k + k_corr.reshape(k.shape)
     v = v + v_corr.reshape(v.shape)
@@ -545,9 +547,9 @@ def attend(
     k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
     scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)  # k_deq [B,H,T,D]
     # low-rank correction: q·P per block, dotted with per-token Q columns
-    kp = base_kp(spec, cache)
+    kpt = base_kpt(spec, cache)
     kqt = base_kqt(spec, cache).reshape(b, hkv, r, nb, g)
-    qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
+    qp = jnp.einsum("bhqd,bhnrd->bhqnr", qf, kpt)
     scores_lr = jnp.einsum("bhqnr,bhrng->bhqng", qp, kqt).reshape(b, hkv, gq * qn, t)
     # residual tier
     kr = cache.k_resid.astype(jnp.float32)
@@ -612,9 +614,9 @@ def attend_partial(
 
     k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
     scores = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)
-    kp = base_kp(spec, cache)
+    kpt = base_kpt(spec, cache)
     kqt = base_kqt(spec, cache).reshape(b, hkv, r, nb, g)
-    qp = jnp.einsum("bhqd,bhndr->bhqnr", qf, kp)
+    qp = jnp.einsum("bhqd,bhnrd->bhqnr", qf, kpt)
     scores = scores + jnp.einsum(
         "bhqnr,bhrng->bhqng", qp, kqt).reshape(b, hkv, gq * qn, t)
     if include_residual:

@@ -1,37 +1,39 @@
-"""Pallas TPU kernel: fused compressed-KV decode attention (v5).
+"""Pallas TPU kernel: fused compressed-KV decode attention (v6).
 
 Replaces the reference's CUDA ``bgemv4/bgemv2_kernel_outer_dim``
 (cuda_supported_gear/quant/csrc/gemv_cuda.cu:264-434) and its out-of-kernel
 low-rank correction (modeling_llamagear.py:54-111) with ONE kernel that
 streams the packed int32 codes from HBM and, per chunk in VMEM:
 
-  unpack (full-lane shifts) -> K dequant via one expander matmul (scale
-  only; the per-block mins fold into score space as ``q . mn``) -> one
-  QK^T matmul -> low-rank score correction -> online softmax -> PV against
+  unpack (full-lane shifts) -> QK^T as per-block dots with the per-block K
+  scale FOLDED INTO q (mins fold into score space as ``q . mn``; no
+  dequantized K tile) -> in-kernel low-rank score correction (tiny per-rank
+  ``q @ P`` dots + lane-broadcast expansion) -> online softmax -> PV against
   the packed V codes with the per-token V scale/min FOLDED INTO the
-  attention weights (no dequantized V tensor is ever materialized) ->
-  low-rank PV correction -> at the last chunk, the fp residual tier and the
-  final softmax normalization, emitting the finished attention output.
+  attention weights (no dequantized V tensor either) -> low-rank PV
+  correction (VPU block sums) -> at the last chunk, the fp residual tier
+  and the final softmax normalization, emitting the finished output.
 
-So dequantization + error reconstruction + QK^T/PV + cross-tier merge all
-happen in one kernel, one HBM pass (BASELINE north star). v5 vs v3: ~2x
-fewer VPU ops per element (single cast chain, no [D,chunk] V broadcasts,
-no mn expander matmul) and no XLA merge tail.
+Design rule learned from scripts/gemv_probe.py on v5e: decode-GEMV is bound
+by the MXU weight port (~128 weight elements/cycle regardless of dtype and
+M<=128), so the kernel moves EXACTLY 2*D*chunk weight elements per chunk
+(the K and V code tiles) through the MXU and nothing else — every
+scale/min/low-rank expansion runs on the VPU or as a tiny-weight dot.
 
 Layout (see gear_tpu.cache): K and V codes are bit-packed along the head
 dim and stored word-major TRANSPOSED ([D/fpi, T] int32, time in lanes) — the
 packing dim is decoupled from the quantization-grouping dim, so unpack is
 full-lane shifts + a sublane concat producing channel-major [D, chunk]
-tiles. K scales per (time-block, channel) [NB, D] expand to [D, chunk] with
-a one-hot block-expander matmul; V scales per (token, d-group) [NGV, T]
-fold into the attention weights. All matmuls run in bf16 with f32
-accumulation (codes <= 255 are exact in bf16). Low-rank Q factors are
-stored transposed [R, T]; V's P factor as [NB, R, D].
+tiles. K scales per (time-block, channel) [NB, D] fold into q per block; V
+scales per (token, d-group) [NGV, T] fold into the attention weights. All
+matmuls run in bf16 with f32 accumulation (codes <= 255 are exact in bf16).
+Low-rank factors are stored transposed: kqt/vqt [R, T], kpt/vpt [NB, R, D].
 
 Mosaic pitfalls observed on v5e and respected here: no bf16 broadcasts of
 1-row slices (row-broadcast multiplies run in f32); no bf16 minor-dim-insert
 reshapes; block last-two dims are (mult of 8, mult of 128) or equal to the
-array dims.
+array dims; f32 dots at DEFAULT precision are a single bf16 MXU pass (use
+HIGHEST where a systematic round would bias a whole block).
 
 Grid is (BH, T // chunk) with flash accumulators in VMEM scratch. Chunks
 beyond comp_len are predicated off; partial chunks are masked per token.
@@ -81,13 +83,20 @@ def _dot_f32(a, b, dims):
                                precision=jax.lax.Precision.HIGHEST)
 
 
+def _b(ref, nd):
+    """Read a block ref, stripping leading singleton block dims down to
+    ``nd`` dims (dense blocks carry one leading 1, paged pool blocks two)."""
+    idx = (0,) * (len(ref.shape) - nd)
+    return ref[idx] if idx else ref[...]
+
+
 def _decode_kernel(
     # scalar prefetch
-    lens_ref,          # int32 [2] = (comp_len, resid_len)
+    lens_ref,          # int32 [NSEQ, 2] = per-sequence (comp_len, resid_len)
     pad_start_ref,     # int32 [BH]
-    # inputs (VMEM blocks)
+    # inputs (VMEM blocks; paged pool blocks carry an extra leading 1)
     q_ref,        # [1, GQ, D]        f32 (sm_scale folded in)
-    qp_ref,       # [1, R, CB, GQ]    f32 (q @ kp, sm_scale folded in)
+    kpt_ref,      # [1, CB, R, D]     bf16 (K low-rank P factor, transposed)
     kcodes_ref,   # [1, WD, CHUNK]    int32  (WD = D // fpi)
     kscale_ref,   # [1, CB, D]        sideband dtype
     kmn_ref,      # [1, CB, D]
@@ -104,6 +113,7 @@ def _decode_kernel(
     # scratch
     acc_ref, m_ref, l_ref,
     *, bits: int, group: int, v_group: int, blocks_per_chunk: int,
+    hkv: int = 1,
     ablate: frozenset = frozenset(),
 ):
     bh = pl.program_id(0)
@@ -114,7 +124,7 @@ def _decode_kernel(
     bf = jnp.bfloat16
     f32 = jnp.float32
     gq, d = q_ref.shape[1], q_ref.shape[2]
-    r = kqt_ref.shape[1]
+    r = kqt_ref.shape[-2]
     ngv = d // v_group
 
     @pl.when(nc == 0)
@@ -123,52 +133,58 @@ def _decode_kernel(
         m_ref[:] = jnp.full_like(m_ref, MASK_VAL)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    comp_len = lens_ref[0]
+    comp_len = lens_ref[bh // hkv, 0]
 
-    @pl.when(nc * chunk < comp_len)
     def _chunk():
         q = q_ref[0].astype(bf)                             # [GQ, D]
 
-        # One-hot block expander E[c, t] = (t // g == c), [CB, CHUNK].
-        crow = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk), 0)
-        tcol = jax.lax.broadcasted_iota(jnp.int32, (cb, chunk), 1) // g
-        expander = (crow == tcol).astype(bf)                # [CB, CHUNK]
-
-        # ---- K dequant: codes * scale_exp (mins fold into score space) --
+        # ---- K scores with the per-block scale FOLDED INTO q -------------
+        # s[:, t in block c] = (q * kscale[c]) . codes[:, t] + q . kmn[c].
+        # No dequantized K tile is ever materialized. Per-block small dots,
+        # q.mn and low-rank expansions via lane broadcasts: measured FASTER
+        # on v5e than the expander-matmul forms (v8 experiment regressed
+        # 217us -> 230-268us at 8k ctx; see commit log).
         if "noshift" in ablate:                 # profiling aid: skip unpack
-            w = kcodes_ref[0]
-            kcodes = jnp.concatenate([w] * (32 // bits), axis=0)
+            w = _b(kcodes_ref, 2)
+            kcodes = jnp.concatenate(
+                [w] * (32 // bits), axis=0).astype(bf)
         else:
-            kcodes = _unpack_words_i32(kcodes_ref[0], bits)  # [D, CHUNK] i32
-        if "noexp" in ablate:                   # profiling aid: skip dequant
-            k_deqt = kcodes.astype(bf)
-        else:
-            kscale = kscale_ref[0].astype(bf)               # [CB, D]
-            scale_expt = _dot(kscale, expander,
-                              (((0,), (0,))))               # [D, CHUNK] f32
-            k_deqt = (kcodes.astype(f32) * scale_expt).astype(bf)
-
-        # ---- scores: q @ k_deqT + q.mn per block + low-rank correction --
-        s = _dot(q, k_deqt, (((1,), (0,))))                 # [GQ, CHUNK] f32
+            kcodes = _unpack_words_i32(_b(kcodes_ref, 2), bits).astype(bf)
+        qf32 = q_ref[0]                                     # [GQ, D] f32
+        kscale = _b(kscale_ref, 2).astype(f32)              # [CB, D]
+        s_parts = []
+        for c in range(cb):
+            qs_c = (qf32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
+            s_parts.append(_dot(qs_c, kcodes[:, c * g:(c + 1) * g],
+                                (((1,), (0,)))))            # [GQ, g] f32
+        s = jnp.concatenate(s_parts, axis=1)                # [GQ, CHUNK] f32
         if "nomn" not in ablate:
             # q.mn carries a large magnitude; keep it f32 end-to-end (a bf16
             # round here is a systematic per-block bias that doesn't cancel).
-            qmn = _dot_f32(q_ref[0], kmn_ref[0].astype(f32),
+            qmn = _dot_f32(q_ref[0], _b(kmn_ref, 2).astype(f32),
                            (((1,), (1,))))                  # [GQ, CB] f32
             qmn_exp = jnp.concatenate(
                 [jnp.broadcast_to(qmn[:, c:c + 1], (gq, g))
                  for c in range(cb)], axis=1)               # [GQ, CHUNK] f32
             s = s + qmn_exp
-        kqt = kqt_ref[0]                                    # [R, CHUNK] bf16
+        # Low-rank score correction. qp = q @ P is computed IN-KERNEL per
+        # rank as a tiny dot, then expanded across each block's tokens with
+        # lane broadcasts.
+        kqt = _b(kqt_ref, 2)                                # [R, CHUNK] bf16
         for ri in range(r if "nolr" not in ablate else 0):
-            qp_r = qp_ref[0, ri].astype(bf)                 # [CB, GQ]
-            qp_exp = _dot(qp_r, expander, (((0,), (0,))))   # [GQ, CHUNK] f32
+            kpt_r = _b(kpt_ref, 3)[:, ri, :]                # [CB, D] bf16
+            qp_r = _dot(q, kpt_r, (((1,), (1,))))           # [GQ, CB] f32
+            qp_exp = jnp.concatenate(
+                [jnp.broadcast_to(qp_r[:, c:c + 1], (gq, g))
+                 for c in range(cb)], axis=1)               # [GQ, CHUNK] f32
             s = s + qp_exp * kqt[ri:ri + 1, :].astype(f32)
 
         # ---- masking: padding prefix and beyond-comp_len tail -----------
-        pad0 = pad_start_ref[bh]
-        tok = nc * chunk + jax.lax.broadcasted_iota(jnp.int32, (gq, chunk), 1)
-        s = jnp.where((tok >= pad0) & (tok < comp_len), s, MASK_VAL)
+        if "nomask" not in ablate:  # profiling aid
+            pad0 = pad_start_ref[bh]
+            tok = nc * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (gq, chunk), 1)
+            s = jnp.where((tok >= pad0) & (tok < comp_len), s, MASK_VAL)
 
         # ---- online softmax ---------------------------------------------
         m_prev = m_ref[:, :1]                               # [GQ, 1]
@@ -184,10 +200,10 @@ def _decode_kernel(
         if "nov" in ablate:                     # profiling aid: skip V side
             pv = jnp.zeros((gq, d), f32)
         else:
-            vcodes = _unpack_words_i32(vcodes_ref[0], bits).astype(bf)
+            vcodes = _unpack_words_i32(_b(vcodes_ref, 2), bits).astype(bf)
             pv_parts = []
             for i in range(ngv):
-                vs_i = vscale_ref[0, i:i + 1, :].astype(f32)  # [1, CHUNK]
+                vs_i = _b(vscale_ref, 2)[i:i + 1, :].astype(f32)
                 ps = (p * vs_i).astype(bf)                  # [GQ, CHUNK]
                 pv_parts.append(_dot(
                     ps, vcodes[i * v_group:(i + 1) * v_group, :],
@@ -198,7 +214,7 @@ def _decode_kernel(
                 # per-group mins: (p . vmn) expanded over the group's d-range
                 # via a tiny static expander. f32 end-to-end — a bf16 round
                 # here is a systematic per-group bias that doesn't cancel.
-                pmn = _dot_f32(p, vmn_ref[0].astype(f32),
+                pmn = _dot_f32(p, _b(vmn_ref, 2).astype(f32),
                                (((1,), (1,))))              # [GQ, NGV]
                 grow = jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 0)
                 gcol = jax.lax.broadcasted_iota(
@@ -206,25 +222,34 @@ def _decode_kernel(
                 vg_exp = (grow == gcol).astype(f32)         # [NGV, D]
                 pv = pv + _dot_f32(pmn, vg_exp, (((1,), (0,))))
 
-            # low-rank PV correction: sum_r ((p * vqt_r) @ E) @ vpt_r
-            vqt = vqt_ref[0]                                # [R, CHUNK] bf16
+            # low-rank PV correction: sum_r blocksum(p * vqt_r) @ vpt_r.
+            # The per-block sums run on the VPU (lane-slice reductions).
+            vqt = _b(vqt_ref, 2)                            # [R, CHUNK] bf16
             for ri in range(r if "nolr" not in ablate else 0):
-                w_r = (p * vqt[ri:ri + 1, :].astype(f32)).astype(bf)
-                wv_r = _dot(w_r, expander, (((1,), (1,))))  # [GQ, CB] f32
+                w_r = p * vqt[ri:ri + 1, :].astype(f32)     # [GQ, CHUNK] f32
+                wv_r = jnp.concatenate(
+                    [jnp.sum(w_r[:, c * g:(c + 1) * g], axis=1,
+                             keepdims=True) for c in range(cb)],
+                    axis=1)                                 # [GQ, CB] f32
                 pv = pv + _dot(wv_r.astype(bf),
-                               vpt_ref[0, :, ri, :],
+                               _b(vpt_ref, 3)[:, ri, :],
                                (((1,), (0,))))              # [GQ, D]
 
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
+    if "nopred" in ablate:  # profiling aid: unconditional chunk execution
+        _chunk()
+    else:
+        pl.when(nc * chunk < comp_len)(_chunk)
+
     @pl.when(nc == pl.num_programs(1) - 1)
     def _finalize():
         # Residual (uncompressed) tier + final normalization, in-kernel.
-        resid_len = lens_ref[1]
+        resid_len = lens_ref[bh // hkv, 1]
         q = q_ref[0].astype(bf)
-        kr = kresid_ref[0].astype(bf)                       # [G, D]
+        kr = _b(kresid_ref, 2).astype(bf)                   # [G, D]
         sr = _dot(q, kr, (((1,), (1,))))                    # [GQ, G] f32
         rcol = jax.lax.broadcasted_iota(jnp.int32, (gq, g), 1)
         sr = jnp.where(rcol < resid_len, sr, MASK_VAL)
@@ -235,7 +260,7 @@ def _decode_kernel(
         alpha = jnp.exp(m_prev - m_new)
         pr = jnp.where(sr > MASK_VAL / 2, jnp.exp(sr - m_new), 0.0)
         l_tot = l_ref[:, :1] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
-        vr = vresid_ref[0].astype(bf)                       # [G, D]
+        vr = _b(vresid_ref, 2).astype(bf)                   # [G, D]
         pv_r = _dot(pr.astype(bf), vr, (((1,), (0,))))      # [GQ, D] f32
         acc = acc_ref[:] * alpha + pv_r
         out_ref[0] = acc / l_tot                            # [GQ, D] f32
@@ -244,13 +269,13 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "v_group", "blocks_per_chunk",
-                     "interpret", "ablate"),
+                     "hkv", "interpret", "ablate"),
 )
 def decode_attention(
-    lens: jax.Array,         # int32 [2] = (comp_len, resid_len)
+    lens: jax.Array,         # int32 [B, 2] = per-seq (comp_len, resid_len)
     pad_start: jax.Array,    # int32 [BH]
     q: jax.Array,            # [BH, GQ, D] f32 — sm_scale already folded in
-    qp: jax.Array,           # [BH, R, NB, GQ] f32 — q @ kp, sm_scale folded
+    kpt: jax.Array,          # [BH, NB, R, D] K low-rank P factor (transposed)
     k_codes: jax.Array,      # [BH, D//fpi, T] int32 (word-major transposed)
     k_scale: jax.Array,      # [BH, NB, D]
     k_mn: jax.Array,         # [BH, NB, D]
@@ -267,12 +292,15 @@ def decode_attention(
     group: int,
     v_group: int,
     blocks_per_chunk: int = 16,
+    hkv: int = 1,
     interpret: bool = False,
     ablate: frozenset = frozenset(),
 ):
     """Fused flash-decode over the two-tier compressed cache.
 
     Returns the normalized attention output [BH, GQ, D] f32 (both tiers).
+    ``hkv`` = kv heads per sequence (row i of the BH axis belongs to
+    sequence i // hkv of ``lens``).
     """
     bh, gq, d = q.shape
     t = kqt.shape[2]
@@ -292,7 +320,7 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, ablate=ablate)
+        blocks_per_chunk=cb, hkv=hkv, ablate=ablate)
 
     out = pl.pallas_call(
         kernel,
@@ -301,7 +329,7 @@ def decode_attention(
             grid=(bh, nc),
             in_specs=[
                 pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, r, cb, gq), lambda i, j, *_: (i, 0, j, 0)),
+                pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
                 pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
                 pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
                 pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
@@ -329,8 +357,8 @@ def decode_attention(
         interpret=interpret,
     )(
         lens, pad_start,
-        q, qp, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn, vqt, vpt,
-        k_resid, v_resid,
+        q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn, vqt,
+        vpt, k_resid, v_resid,
     )
     return out[0]
 
@@ -364,10 +392,10 @@ def attend_fused(
 
     from .. import cache as _cache_mod
 
-    kp = _cache_mod.base_kp(spec, cache)
-    qp = jnp.einsum("bhqd,bhndr->bhrnq", qf, kp)  # [B,H,R,NB,GQ]
     # int8 bases are dequantized to bf16 views for the kernel (kernel-native
     # int8 base reads are a later optimization); HBM residency stays int8.
+    kpt_in = _cache_mod.base_kpt(spec, cache).astype(jnp.bfloat16) \
+        if spec.base_bits == 8 else cache.kpt.astype(jnp.bfloat16)
     kqt_in = _cache_mod.base_kqt(spec, cache).astype(jnp.bfloat16) \
         if spec.base_bits == 8 else cache.kqt
     vqt_in = _cache_mod.base_vqt(spec, cache).astype(jnp.bfloat16) \
@@ -381,13 +409,14 @@ def attend_fused(
     else:
         pad_bh = jnp.repeat(pad_start.astype(jnp.int32), hkv)
 
-    lens = jnp.stack([cache.comp_len.astype(jnp.int32),
-                      cache.resid_len.astype(jnp.int32)])
+    lens = jnp.broadcast_to(
+        jnp.stack([cache.comp_len.astype(jnp.int32),
+                   cache.resid_len.astype(jnp.int32)])[None, :], (b, 2))
 
     out = decode_attention(
         lens,
         pad_bh,
-        flat(qf), flat(qp),
+        flat(qf), flat(kpt_in),
         flat(cache.k_codes),
         flat(cache.k_scale),
         flat(cache.k_mn),
@@ -400,9 +429,427 @@ def attend_fused(
         flat(cache.k_resid),
         flat(cache.v_resid),
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
-        blocks_per_chunk=blocks_per_chunk, interpret=interpret,
+        blocks_per_chunk=blocks_per_chunk, hkv=hkv, interpret=interpret,
         ablate=ablate,
     )
 
+    out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]
+    return out.reshape(b, hq, qn, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Paged variant: same kernel, pool-indexed DMA via scalar-prefetch block
+# tables (the TPU-native paged-attention pattern — the index_map reads the
+# table to pick which physical page each grid step streams).
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group", "v_group", "page_blocks", "hkv",
+                     "interpret"),
+)
+def decode_attention_paged(
+    lens: jax.Array,         # int32 [B, 2] per-seq (comp_len, resid_len)
+    pad_start: jax.Array,    # int32 [BH]
+    block_table: jax.Array,  # int32 [B, MAXP] physical page per logical page
+    q: jax.Array,            # [BH, GQ, D] f32 — sm_scale folded in
+    kpt: jax.Array,          # [P, H, PB, R, D] pool leaves ----------------
+    k_codes: jax.Array,      # [P, H, D//fpi, PT] int32
+    k_scale: jax.Array,      # [P, H, PB, D]
+    k_mn: jax.Array,         # [P, H, PB, D]
+    kqt: jax.Array,          # [P, H, R, PT]
+    v_codes: jax.Array,      # [P, H, D//fpi, PT] int32
+    v_scale: jax.Array,      # [P, H, NGV, PT]
+    v_mn: jax.Array,         # [P, H, NGV, PT]
+    vqt: jax.Array,          # [P, H, R, PT]
+    vpt: jax.Array,          # [P, H, PB, R, D] ------------------------------
+    k_resid: jax.Array,      # [B, H, G, D] per-seq residual tier
+    v_resid: jax.Array,      # [B, H, G, D]
+    *,
+    bits: int,
+    group: int,
+    v_group: int,
+    page_blocks: int,
+    hkv: int,
+    interpret: bool = False,
+):
+    """Fused flash-decode directly over the physical page pool.
+
+    One grid step streams one page; the scalar-prefetched ``block_table``
+    drives the DMA source page, so no gather/copy of pages ever happens.
+    Unallocated table tail entries must be clamped to a valid page id (the
+    kernel masks them off via comp_len).
+    """
+    bh, gq, d = q.shape
+    maxp = block_table.shape[1]
+    cb = page_blocks
+    chunk = cb * group
+    r = kqt.shape[2]
+    wd = d // (32 // bits)
+    ngv = d // v_group
+
+    def kernel(lens_ref, pad_ref, bt_ref, *args):
+        # bt_ref drives the index_maps only; the kernel body never reads it.
+        _decode_kernel(lens_ref, pad_ref, *args,
+                       bits=bits, group=group, v_group=v_group,
+                       blocks_per_chunk=cb, hkv=hkv)
+
+    def tok(i, j, lens_, pad_, bt_):
+        return (bt_[i // hkv, j], i % hkv, 0, 0)
+
+    def blk(i, j, lens_, pad_, bt_):
+        return (bt_[i // hkv, j], i % hkv, 0, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(bh, maxp),
+            in_specs=[
+                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 1, cb, r, d), blk),
+                pl.BlockSpec((1, 1, wd, chunk), tok),
+                pl.BlockSpec((1, 1, cb, d), tok),
+                pl.BlockSpec((1, 1, cb, d), tok),
+                pl.BlockSpec((1, 1, r, chunk), tok),
+                pl.BlockSpec((1, 1, wd, chunk), tok),
+                pl.BlockSpec((1, 1, ngv, chunk), tok),
+                pl.BlockSpec((1, 1, ngv, chunk), tok),
+                pl.BlockSpec((1, 1, r, chunk), tok),
+                pl.BlockSpec((1, 1, cb, r, d), blk),
+                pl.BlockSpec((1, 1, group, d),
+                             lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
+                pl.BlockSpec((1, 1, group, d),
+                             lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((gq, d), jnp.float32),
+                pltpu.VMEM((gq, 128), jnp.float32),
+                pltpu.VMEM((gq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, gq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        lens, pad_start, block_table,
+        q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn, vqt,
+        vpt, k_resid, v_resid,
+    )
+    return out[0]
+
+
+def attend_paged(
+    pspec,
+    pool,
+    seqs,
+    q: jax.Array,            # [B, Hq, Qn, D]
+    *,
+    sm_scale: float | None = None,
+    pad_start: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention for a batch of paged sequences (gear_tpu.paged).
+
+    Per-sequence lengths (continuous batching) are native here — each row
+    of ``seqs`` masks by its own comp_len/resid_len.
+    """
+    spec = pspec.spec
+    b, hq, qn, d = q.shape
+    hkv = spec.num_kv_heads
+    gq_n = (hq // hkv) * qn
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    bhn = b * hkv
+
+    qf = (q.reshape(b, hkv, gq_n, d) * sm_scale).astype(jnp.float32)
+    gq_pad = max(8, ((gq_n + 7) // 8) * 8)
+    if gq_pad != gq_n:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
+
+    if pad_start is None:
+        pad_bh = jnp.zeros((bhn,), jnp.int32)
+    else:
+        pad_bh = jnp.repeat(pad_start.astype(jnp.int32), hkv)
+
+    lens = jnp.stack([seqs.comp_len.astype(jnp.int32),
+                      seqs.resid_len.astype(jnp.int32)], axis=1)  # [B, 2]
+    bt = jnp.maximum(seqs.block_table.astype(jnp.int32), 0)
+
+    out = decode_attention_paged(
+        lens, pad_bh, bt,
+        qf.reshape(bhn, gq_pad, d),
+        pool.kpt.astype(jnp.bfloat16),
+        pool.k_codes, pool.k_scale, pool.k_mn,
+        pool.kqt.astype(jnp.bfloat16),
+        pool.v_codes, pool.v_scale, pool.v_mn,
+        pool.vqt.astype(jnp.bfloat16),
+        pool.vpt.astype(jnp.bfloat16),
+        seqs.k_resid, seqs.v_resid,
+        bits=spec.bits, group=spec.group, v_group=spec.v_group,
+        page_blocks=pspec.page_blocks, hkv=hkv, interpret=interpret,
+    )
+    out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]
+    return out.reshape(b, hq, qn, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# v7 experiment: consolidated-sideband kernel. All per-token sidebands ride
+# in ONE array (rows: kqt[R], vqt[R], vscale[NGV], vmn[NGV]), all per-block
+# sidebands in another (sections: k_scale, k_mn, kpt[R], vpt[R]), and the K/V
+# codes in one int32 array — 5 tensor inputs instead of 14, so each grid step
+# issues 4 DMAs instead of ~11 (DMA issue overhead is the measured kernel
+# bottleneck; see scripts/gemv_probe2.py results in the commit log).
+# ---------------------------------------------------------------------------
+
+def _decode_kernel_c(
+    lens_ref, pad_start_ref,
+    q_ref,        # [1, GQ, D]           f32 (sm_scale folded in)
+    codes_ref,    # [1, 2*WD, CHUNK]     int32 (K rows then V rows)
+    tok_ref,      # [1, 2R+2NGV, CHUNK]  bf16
+    blk_ref,      # [1, CB, 2+2R, D]     bf16
+    resid_ref,    # [1, 2G, D]           cache dtype (K rows then V rows)
+    out_ref,      # [1, GQ, D] f32
+    acc_ref, m_ref, l_ref,
+    *, bits: int, group: int, v_group: int, blocks_per_chunk: int,
+    hkv: int = 1, rank: int = 4,
+):
+    bh = pl.program_id(0)
+    nc = pl.program_id(1)
+    cb = blocks_per_chunk
+    g = group
+    chunk = cb * g
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    gq, d = q_ref.shape[1], q_ref.shape[2]
+    r = rank
+    ngv = d // v_group
+    wd = codes_ref.shape[1] // 2
+
+    @pl.when(nc == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, MASK_VAL)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    comp_len = lens_ref[bh // hkv, 0]
+
+    @pl.when(nc * chunk < comp_len)
+    def _chunk():
+        q = q_ref[0].astype(bf)
+        qf32 = q_ref[0]
+        codes = codes_ref[0]
+        tok = tok_ref[0]
+        blk = blk_ref[0]                                    # [CB, 2+2R, D]
+
+        kcodes = _unpack_words_i32(codes[:wd], bits).astype(bf)
+        kscale = blk[:, 0, :].astype(f32)                   # [CB, D]
+        s_parts = []
+        for c in range(cb):
+            qs_c = (qf32 * kscale[c:c + 1, :]).astype(bf)
+            s_parts.append(_dot(qs_c, kcodes[:, c * g:(c + 1) * g],
+                                (((1,), (0,)))))
+        s = jnp.concatenate(s_parts, axis=1)                # [GQ, CHUNK] f32
+        qmn = _dot_f32(qf32, blk[:, 1, :].astype(f32), (((1,), (1,))))
+        qmn_exp = jnp.concatenate(
+            [jnp.broadcast_to(qmn[:, c:c + 1], (gq, g)) for c in range(cb)],
+            axis=1)
+        s = s + qmn_exp
+        for ri in range(r):
+            kpt_r = blk[:, 2 + ri, :]                       # [CB, D] bf16
+            qp_r = _dot(q, kpt_r, (((1,), (1,))))           # [GQ, CB] f32
+            qp_exp = jnp.concatenate(
+                [jnp.broadcast_to(qp_r[:, c:c + 1], (gq, g))
+                 for c in range(cb)], axis=1)
+            s = s + qp_exp * tok[ri:ri + 1, :].astype(f32)  # kqt row ri
+
+        pad0 = pad_start_ref[bh]
+        tokid = nc * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (gq, chunk), 1)
+        s = jnp.where((tokid >= pad0) & (tokid < comp_len), s, MASK_VAL)
+
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new), 0.0)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p_bf = p.astype(bf)
+
+        vcodes = _unpack_words_i32(codes[wd:], bits).astype(bf)
+        pv_parts = []
+        for i in range(ngv):
+            vs_i = tok[2 * r + i:2 * r + i + 1, :].astype(f32)
+            ps = (p * vs_i).astype(bf)
+            pv_parts.append(_dot(ps, vcodes[i * v_group:(i + 1) * v_group, :],
+                                 (((1,), (1,)))))
+        pv = (jnp.concatenate(pv_parts, axis=-1) if ngv > 1
+              else pv_parts[0])
+        vmn = tok[2 * r + ngv:2 * r + 2 * ngv, :].astype(f32)
+        pmn = _dot_f32(p, vmn, (((1,), (1,))))              # [GQ, NGV]
+        grow = jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 1) // v_group
+        pv = pv + _dot_f32(pmn, (grow == gcol).astype(f32), (((1,), (0,))))
+        for ri in range(r):
+            w_r = p * tok[r + ri:r + ri + 1, :].astype(f32)  # vqt row ri
+            wv_r = jnp.concatenate(
+                [jnp.sum(w_r[:, c * g:(c + 1) * g], axis=1, keepdims=True)
+                 for c in range(cb)], axis=1)
+            pv = pv + _dot(wv_r.astype(bf), blk[:, 2 + r + ri, :],
+                           (((1,), (0,))))
+
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    if "nopred" in ablate:  # profiling aid: unconditional chunk execution
+        _chunk()
+    else:
+        pl.when(nc * chunk < comp_len)(_chunk)
+
+    @pl.when(nc == pl.num_programs(1) - 1)
+    def _finalize():
+        resid_len = lens_ref[bh // hkv, 1]
+        q = q_ref[0].astype(bf)
+        kr = resid_ref[0, :group].astype(bf)
+        sr = _dot(q, kr, (((1,), (1,))))
+        rcol = jax.lax.broadcasted_iota(jnp.int32, (gq, group), 1)
+        sr = jnp.where(rcol < resid_len, sr, MASK_VAL)
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(sr, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.where(sr > MASK_VAL / 2, jnp.exp(sr - m_new), 0.0)
+        l_tot = l_ref[:, :1] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+        vr = resid_ref[0, group:].astype(bf)
+        pv_r = _dot(pr.astype(bf), vr, (((1,), (0,))))
+        out_ref[0] = (acc_ref[:] * alpha + pv_r) / l_tot
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group", "v_group", "rank", "blocks_per_chunk",
+                     "hkv", "interpret"),
+)
+def decode_attention_c(
+    lens: jax.Array,        # [B, 2]
+    pad_start: jax.Array,   # [BH]
+    q: jax.Array,           # [BH, GQ, D] f32
+    codes: jax.Array,       # [BH, 2*WD, T] int32
+    tok_side: jax.Array,    # [BH, 2R+2NGV, T] bf16
+    blk_side: jax.Array,    # [BH, NB, 2+2R, D] bf16
+    resid: jax.Array,       # [BH, 2G, D]
+    *,
+    bits: int, group: int, v_group: int, rank: int,
+    blocks_per_chunk: int = 16, hkv: int = 1, interpret: bool = False,
+):
+    bh, gq, d = q.shape
+    t = tok_side.shape[2]
+    nb = t // group
+    cb = min(blocks_per_chunk, nb)
+    while nb % cb:
+        cb -= 1
+    if cb % 8 and cb != nb:
+        cb = nb
+    nc = nb // cb
+    chunk = cb * group
+    wd2 = codes.shape[1]
+    st = tok_side.shape[1]
+    sb = blk_side.shape[2]
+
+    kernel = functools.partial(
+        _decode_kernel_c, bits=bits, group=group, v_group=v_group,
+        blocks_per_chunk=cb, hkv=hkv, rank=rank)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh, nc),
+            in_specs=[
+                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((1, wd2, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, st, chunk), lambda i, j, *_: (i, 0, j)),
+                pl.BlockSpec((1, cb, sb, d), lambda i, j, *_: (i, j, 0, 0)),
+                pl.BlockSpec((1, 2 * group, d), lambda i, j, *_: (i, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0))],
+            scratch_shapes=[
+                pltpu.VMEM((gq, d), jnp.float32),
+                pltpu.VMEM((gq, 128), jnp.float32),
+                pltpu.VMEM((gq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((bh, gq, d), jnp.float32)],
+        interpret=interpret,
+    )(lens, pad_start, q, codes, tok_side, blk_side, resid)
+    return out[0]
+
+
+def consolidate_cache(spec, cache):
+    """Build the v7 consolidated views (codes, tok_side, blk_side, resid)
+    from a LayerCache. Flat [BH, ...] leaves, bf16 sidebands."""
+    b = cache.k_codes.shape[0]
+    bhn = b * spec.num_kv_heads
+    flat = lambda x: x.reshape(bhn, *x.shape[2:])
+    from .. import cache as _c
+    bf = jnp.bfloat16
+    kqt = _c.base_kqt(spec, cache).astype(bf) if spec.base_bits == 8 \
+        else cache.kqt.astype(bf)
+    vqt = _c.base_vqt(spec, cache).astype(bf) if spec.base_bits == 8 \
+        else cache.vqt.astype(bf)
+    kpt = _c.base_kpt(spec, cache).astype(bf) if spec.base_bits == 8 \
+        else cache.kpt.astype(bf)
+    vpt = _c.base_vpt(spec, cache).astype(bf) if spec.base_bits == 8 \
+        else cache.vpt.astype(bf)
+    codes = jnp.concatenate([flat(cache.k_codes), flat(cache.v_codes)], 1)
+    tok_side = jnp.concatenate(
+        [flat(kqt), flat(vqt),
+         flat(cache.v_scale).astype(bf), flat(cache.v_mn).astype(bf)], 1)
+    blk_side = jnp.concatenate(
+        [flat(cache.k_scale).astype(bf)[:, :, None],
+         flat(cache.k_mn).astype(bf)[:, :, None],
+         flat(kpt), flat(vpt)], 2)
+    resid = jnp.concatenate(
+        [flat(cache.k_resid), flat(cache.v_resid)], 1)
+    return codes, tok_side, blk_side, resid
+
+
+def attend_fused_c(
+    spec, cache, q, *, sm_scale=None, pad_start=None, blocks_per_chunk=16,
+    interpret=False, consolidated=None,
+):
+    """v7 experiment: attend via the consolidated-sideband kernel.
+
+    ``consolidated`` (from :func:`consolidate_cache`) can be passed in when
+    the caller amortizes the consolidation (e.g. rebuilt only on flush)."""
+    b, hq, qn, d = q.shape
+    hkv = spec.num_kv_heads
+    gq_n = (hq // hkv) * qn
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    bhn = b * hkv
+    qf = (q.reshape(b, hkv, gq_n, d) * sm_scale).astype(jnp.float32)
+    gq_pad = max(8, ((gq_n + 7) // 8) * 8)
+    if gq_pad != gq_n:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
+    if consolidated is None:
+        consolidated = consolidate_cache(spec, cache)
+    codes, tok_side, blk_side, resid = consolidated
+    pad_bh = (jnp.zeros((bhn,), jnp.int32) if pad_start is None
+              else jnp.repeat(pad_start.astype(jnp.int32), hkv))
+    lens = jnp.broadcast_to(
+        jnp.stack([cache.comp_len.astype(jnp.int32),
+                   cache.resid_len.astype(jnp.int32)])[None, :], (b, 2))
+    out = decode_attention_c(
+        lens, pad_bh, qf.reshape(bhn, gq_pad, d),
+        codes, tok_side, blk_side, resid,
+        bits=spec.bits, group=spec.group, v_group=spec.v_group,
+        rank=spec.r_store, blocks_per_chunk=blocks_per_chunk, hkv=hkv,
+        interpret=interpret)
     out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]
     return out.reshape(b, hq, qn, d).astype(q.dtype)

@@ -332,6 +332,82 @@ def forward_decode(
     return logits[:, 0], caches
 
 
+def forward_decode_paged(
+    params: dict,
+    cfg: ModelConfig,
+    token: jax.Array,       # [B] int32  (B = serving slots)
+    position: jax.Array,    # [B] int32
+    pools,                  # PagePool with leading layer axis on every leaf
+    seqs,                   # PagedSeqs; k/v_resid carry a layer axis [L,B,..]
+    *,
+    pspec,
+    pad_start: jax.Array | None = None,
+    prng: jax.Array | None = None,
+    attn_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
+):
+    """One decode step over PAGED caches with per-sequence lengths.
+
+    Unlike :func:`forward_decode` (one dense cache, batch-uniform lengths),
+    every slot masks by its own comp_len/resid_len — the continuous-batching
+    step serves slots of different ages in ONE forward pass (the reference
+    can only run uniform static batches through HF generate; survey §1).
+    """
+    from .. import paged as paged_mod
+    from ..kernels import decode as fused
+
+    b = token.shape[0]
+    h = params["embed"][token].astype(cfg.dtype)[:, None]  # [B,1,E]
+    cos, sin = rope_cos_sin(position[:, None], cfg.head_dim, cfg.rope_theta)
+    if prng is None:
+        prng = jax.random.PRNGKey(0)
+    # Per-slot then per-layer key split — the SAME chain as the dense
+    # engine's vmapped one_slot + forward_decode, so a paged slot's flush
+    # randomness is bit-identical to its dense twin.
+    slot_keys = jax.random.split(prng, b)                       # [B, 2]
+    layer_keys = jnp.swapaxes(
+        jax.vmap(lambda k: jax.random.split(k, cfg.num_layers))(slot_keys),
+        0, 1)                                                   # [L, B, 2]
+
+    shared = paged_mod.PagedSeqs(
+        block_table=seqs.block_table, comp_len=seqs.comp_len,
+        resid_len=seqs.resid_len, k_resid=None, v_resid=None)
+
+    def body(h, xs):
+        lp, lpool, rk, rv, lkey = xs
+        lseqs = shared.replace(k_resid=rk, v_resid=rv)
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        lpool, lseqs = paged_mod.append_paged(pspec, lpool, lseqs, k, v,
+                                              key=lkey)
+        if attn_impl.startswith("pallas"):
+            attn = fused.attend_paged(
+                pspec, lpool, lseqs, q, pad_start=pad_start,
+                interpret=attn_impl == "pallas_interpret")
+        else:
+            attn = paged_mod.attend_xla(pspec, lpool, lseqs, q,
+                                        pad_start=pad_start)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, (lpool, lseqs.k_resid, lseqs.v_resid,
+                   lseqs.comp_len, lseqs.resid_len)
+
+    h, (pools, rks, rvs, comps, resids) = jax.lax.scan(
+        body, h, (params["layers"], pools, seqs.k_resid, seqs.v_resid,
+                  layer_keys))
+    # Lengths advance identically in every layer; keep layer 0's.
+    seqs = seqs.replace(k_resid=rks, v_resid=rvs,
+                        comp_len=comps[0], resid_len=resids[0])
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    logits = logits_from_hidden(params, cfg, h)
+    return logits[:, 0], pools, seqs
+
+
 def logits_from_hidden(params: dict, cfg: ModelConfig, h: jax.Array) -> jax.Array:
     w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     return (h.astype(jnp.float32) @ w.astype(jnp.float32))

@@ -70,11 +70,11 @@ def split_cache(spec: CacheSpec, cache: LayerCache, n_shards: int
         v_resid=jnp.stack([
             jnp.where(i == n_shards - 1, cache.v_resid, zeros_resid)
             for i in range(n_shards)]),
-        kp=split_t(cache.kp, 2),
+        kpt=split_t(cache.kpt, 2),
         kqt=split_t(cache.kqt, 3),
         vpt=split_t(cache.vpt, 2),
         vqt=split_t(cache.vqt, 3),
-        kp_scale=split_t(cache.kp_scale, 2),
+        kpt_scale=split_t(cache.kpt_scale, 2),
         kqt_scale=split_t(cache.kqt_scale, 3),
         vpt_scale=split_t(cache.vpt_scale, 2),
         vqt_scale=split_t(cache.vqt_scale, 3),

@@ -75,9 +75,9 @@ def cache_pspecs(stacked: bool = True) -> LayerCache:
         k_codes=ps(None, None), k_scale=ps(None, None), k_mn=ps(None, None),
         v_codes=ps(None, None), v_scale=ps(None, None), v_mn=ps(None, None),
         k_resid=ps(None, None), v_resid=ps(None, None),
-        kp=ps(None, None, None), kqt=ps(None, None),
+        kpt=ps(None, None, None), kqt=ps(None, None),
         vpt=ps(None, None, None), vqt=ps(None, None),
-        kp_scale=ps(None, None), kqt_scale=ps(None, None),
+        kpt_scale=ps(None, None), kqt_scale=ps(None, None),
         vpt_scale=ps(None, None), vqt_scale=ps(None, None),
         comp_len=scalar, resid_len=scalar,
     )

@@ -93,6 +93,15 @@ def main():
             bench(name,
                   lambda c, x, ck=ck: F.raw_attend_flash(spec, c, x, chunk=ck),
                   rc, q, bf16_bytes)
+        elif name.startswith("fusedc"):
+            cb = int(name[6:])
+            cons = K.consolidate_cache(spec, cache)
+            cons = jax.tree.map(lambda x: np.asarray(x), cons)
+            cons = jax.tree.map(jnp.asarray, cons)
+            bench(name,
+                  lambda c, x, cb=cb: K.attend_fused_c(
+                      spec, c, x, blocks_per_chunk=cb, consolidated=cons),
+                  cache, q, comp_bytes)
         elif name.startswith("fused"):
             # fused<cb>[:abl1+abl2]  e.g. fused32:nolr+nov
             spec_s = name[5:]

@@ -228,7 +228,7 @@ def test_int8_bases_reconstruction_close_to_bf16(rng):
     e16 = rel(k16[:, :, :128], k)
     e8 = rel(k8[:, :, :128], k)
     assert e8 < e16 * 1.05, (e8, e16)  # int8 bases cost <5% extra error
-    assert c8.kp.dtype == jnp.int8
+    assert c8.kpt.dtype == jnp.int8
     # Memory accounting shrinks.
     assert s8.bytes_compressed() < s16.bytes_compressed()
 
