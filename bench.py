@@ -83,12 +83,12 @@ def main():
         return best
 
     dt_fused = bench(
-        lambda c, x: K.attend_fused(spec, c, x, blocks_per_chunk=8), cache, q)
+        lambda c, x: K.attend_fused(spec, c, x, blocks_per_chunk=16), cache, q)
     dt_bf16 = bench(lambda c, x: L.raw_attend(spec, c, x), rc, q)
 
     # Sanity: fused output tracks the XLA reference on this cache.
     got = np.asarray(
-        K.attend_fused(spec, cache, q, blocks_per_chunk=8), np.float32)
+        K.attend_fused(spec, cache, q, blocks_per_chunk=16), np.float32)
     want = np.asarray(C.attend(spec, cache, q), np.float32)
     rel = float(np.abs(got - want).mean() / np.abs(want).mean())
     assert np.isfinite(got).all() and rel < 0.05, f"kernel mismatch: {rel}"

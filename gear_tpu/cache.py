@@ -131,11 +131,13 @@ class LayerCache:
     """One layer's compressed KV state. All leaves fixed-shape arrays."""
 
     # Packed quantized prefix. BOTH K and V codes are bit-packed along the
-    # head dim and stored WORD-MAJOR TRANSPOSED: [D/fpi, T] int32 — time in
-    # lanes, so the Pallas kernel's unpack is full-lane shifts + a sublane
-    # concat. Only the SCALE GROUPING differs: K per (time-block, channel),
-    # V per (token, d-group, also stored transposed [NGV, T]). The packing
-    # dim is deliberately decoupled from the quantization-grouping dim.
+    # head dim (BYTE-STRIDED layout, quant.pack_codes_bytestrided) and
+    # stored WORD-MAJOR TRANSPOSED: [D/fpi, T] int32 — time in lanes, so
+    # the Pallas kernel's unpack is a couple of full-lane int32 shift/mask
+    # ops + sublane-expanding int8 bitcasts. Only the SCALE GROUPING
+    # differs: K per (time-block, channel), V per (token, d-group, also
+    # stored transposed [NGV, T]). The packing dim is deliberately
+    # decoupled from the quantization-grouping dim.
     k_codes: jax.Array   # int32 [B, H, head_dim // fpi, max_len]
     k_scale: jax.Array   # [B, H, n_blocks, D]
     k_mn: jax.Array      # [B, H, n_blocks, D]
@@ -216,7 +218,7 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
     codes = jnp.clip(
         jnp.round((kg - mn[:, :, :, None]) / safe[:, :, :, None]), 0, levels
     ).astype(jnp.int32).reshape(b, h, s_len, d)
-    packed = quant.pack_codes_strided(codes, spec.bits)  # [B,H,S,WD]
+    packed = quant.pack_codes_bytestrided(codes, spec.bits)  # [B,H,S,WD]
     packed = jnp.swapaxes(packed, -1, -2)                # [B,H,WD,S]
     return (packed, scale.astype(spec.sideband_dtype),
             mn.astype(spec.sideband_dtype))
@@ -229,7 +231,7 @@ def _compress_v_block(spec: CacheSpec, v: jax.Array):
     Returns (packed int32 [B,H,D//fpi,S], scale [B,H,D//v_group,S], mn).
     """
     codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
-    packed = jnp.swapaxes(quant.pack_codes_strided(codes, spec.bits), -1, -2)
+    packed = jnp.swapaxes(quant.pack_codes_bytestrided(codes, spec.bits), -1, -2)
     return (packed, jnp.swapaxes(scale, -1, -2).astype(spec.sideband_dtype),
             jnp.swapaxes(mn, -1, -2).astype(spec.sideband_dtype))
 
@@ -238,7 +240,7 @@ def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
     """Inverse of _compress_k_block -> [B,H,S,D]."""
     b, h, _, s_len = packed.shape
     nbs = s_len // spec.group
-    codes = quant.unpack_codes_strided(
+    codes = quant.unpack_codes_bytestrided(
         jnp.swapaxes(packed, -1, -2), spec.bits)  # [B,H,S,D]
     d = codes.shape[-1]
     cg = codes.astype(jnp.float32).reshape(b, h, nbs, spec.group, d)
@@ -248,7 +250,7 @@ def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
 
 
 def _dequant_v_block(spec: CacheSpec, packed, scale, mn):
-    codes = quant.unpack_codes_strided(jnp.swapaxes(packed, -1, -2), spec.bits)
+    codes = quant.unpack_codes_bytestrided(jnp.swapaxes(packed, -1, -2), spec.bits)
     return quant.dequantize_groups(
         codes, jnp.swapaxes(scale, -1, -2).astype(jnp.float32),
         jnp.swapaxes(mn, -1, -2).astype(jnp.float32), spec.v_group

@@ -170,6 +170,52 @@ def unpack_codes_strided(packed: jax.Array, bits: int) -> jax.Array:
     return out.astype(jnp.int32)
 
 
+def pack_codes_bytestrided(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack with BYTE-STRIDED layout: byte c of a row's byte-array holds
+    codes {c + m * (n / vpb) | m} at bit position m*bits, vpb = 8 // bits;
+    int32 word w = bytes 4w..4w+3 little-endian.
+
+    This is the TPU-kernel-native layout: on TPU, ``pltpu.bitcast(words,
+    int8)`` expands SUBLANES in byte order (row 4w+k == byte 4w+k), so the
+    in-kernel unpack is ``bitcast((word >> m*bits) & rep_mask, int8)`` —
+    one shift + one mask on quarter-size int32 tiles per vpb codes, no
+    per-element shifts and no concat relayout beyond vpb pieces.
+    """
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be one of 2, 4, 8")
+    vpb = 8 // bits
+    n = codes.shape[-1]
+    if n % (32 // bits) != 0:
+        raise ValueError(f"last dim {n} not divisible by {32 // bits}")
+    nb = n // vpb  # bytes per row
+    c = codes.astype(jnp.uint32)
+    byte = jnp.zeros(codes.shape[:-1] + (nb,), jnp.uint32)
+    for m in range(vpb):
+        byte = byte | (c[..., m * nb:(m + 1) * nb] << jnp.uint32(m * bits))
+    w = nb // 4
+    word = jnp.zeros(codes.shape[:-1] + (w,), jnp.uint32)
+    for k in range(4):
+        word = word | (byte[..., k::4] << jnp.uint32(8 * k))
+    return word.astype(jnp.int32)
+
+
+def unpack_codes_bytestrided(packed: jax.Array, bits: int) -> jax.Array:
+    """Inverse of :func:`pack_codes_bytestrided` -> int32 [..., W * fpi]."""
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be one of 2, 4, 8")
+    vpb = 8 // bits
+    w = packed.astype(jnp.uint32)
+    nw = packed.shape[-1]
+    nb = nw * 4
+    byte = jnp.zeros(packed.shape[:-1] + (nb,), jnp.uint32)
+    for k in range(4):
+        byte = byte.at[..., k::4].set((w >> jnp.uint32(8 * k))
+                                      & jnp.uint32(0xFF))
+    mask = jnp.uint32((1 << bits) - 1)
+    parts = [(byte >> jnp.uint32(m * bits)) & mask for m in range(vpb)]
+    return jnp.concatenate(parts, axis=-1).astype(jnp.int32)
+
+
 def quantize_and_pack(
     x: jax.Array, bits: int, group_size: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -63,8 +63,11 @@ class InferenceEngine:
         self.spec = model_cfg.cache_spec(batch_size, engine_cfg.max_len, lcomp)
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
+        self._decode_seq_fn = None
         self._recompress_fn = None
         self.mesh = None
+        self.seq_mesh = None
+        self.seq_axis = "seq"
 
     def shard(self, mesh) -> "InferenceEngine":
         """Place params on a (data, model) mesh; caches inherit shardings
@@ -74,6 +77,22 @@ class InferenceEngine:
 
         self.params = sh.shard_params(mesh, self.params)
         self.mesh = mesh
+        return self
+
+    def shard_seq(self, mesh, axis: str = "seq") -> "InferenceEngine":
+        """Enable SEQUENCE-PARALLEL decode (context parallelism): after
+        prefill the compressed KV splits along time over the mesh's ``axis``
+        (parallel.context.split_cache) and every decode step runs
+        llama.forward_decode_seqsharded — per-shard partial flash attention
+        merged with one O(B*Hq*D) psum per layer. The compressed KV never
+        moves between devices. fused mode only."""
+        if self.ecfg.mode != "fused":
+            raise ValueError("sequence-parallel decode requires mode='fused'")
+        from .parallel import context as ctx
+
+        ctx.shard_spec(self.spec, mesh.shape[axis])  # validate divisibility
+        self.seq_mesh = mesh
+        self.seq_axis = axis
         return self
 
     # -- bucketing ------------------------------------------------------
@@ -164,6 +183,28 @@ class InferenceEngine:
 
             self._decode_fn = step
         return self._decode_fn
+
+    def _get_decode_seq(self):
+        if self._decode_seq_fn is None:
+            spec = self.spec
+            cfg = self.cfg
+            temp = self.ecfg.temperature
+            mesh, axis = self.seq_mesh, self.seq_axis
+
+            @jax.jit
+            def step(params, caches, token, position, pad_start, prng):
+                logits, caches = llama.forward_decode_seqsharded(
+                    params, cfg, token, position, caches, mesh,
+                    spec=spec, axis=axis, pad_start=pad_start, prng=prng)
+                if temp > 0:
+                    next_tok = jax.random.categorical(
+                        prng, logits / temp, axis=-1)
+                else:
+                    next_tok = jnp.argmax(logits, axis=-1)
+                return next_tok.astype(jnp.int32), logits, caches
+
+            self._decode_seq_fn = step
+        return self._decode_seq_fn
 
     def _get_recompress(self):
         """Simulated-mode gap-triggered recompression.
@@ -256,7 +297,15 @@ class InferenceEngine:
         else:
             cur = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
-        decode = self._get_decode()
+        if self.seq_mesh is not None:
+            from .parallel import context as ctx
+
+            n = self.seq_mesh.shape[self.seq_axis]
+            caches = jax.vmap(
+                lambda c: ctx.split_cache(self.spec, c, n))(caches)
+            decode = self._get_decode_seq()
+        else:
+            decode = self._get_decode()
         lcomp = self.comp.layer(0)
         recompress = (
             self._get_recompress()

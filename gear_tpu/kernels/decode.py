@@ -52,21 +52,41 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VAL = -1e30
 
 
-def _unpack_words_i32(words_t, bits: int):
-    """[WD, chunk] int32 words -> [D, chunk] int32 codes, channel-major.
+_REP_MASK = {2: 0x03030303, 4: 0x0F0F0F0F}
 
-    Under the strided packing, bit-field j of word row w is channel
-    ``j * WD + w``, so a SUBLANE concat of the shifted parts restores exact
-    channel order — every op runs on full-lane tiles.
+
+def _unpack_words_bf16(words_t, bits: int, interpret: bool = False):
+    """[WD, chunk] int32 words -> [D, chunk] bf16 codes, channel-major.
+
+    BYTE-STRIDED layout (quant.pack_codes_bytestrided): byte 4w+k of a
+    row's byte-array is channel 4w+k's m-th bit-field for channel
+    ``(4w+k) + m * D/vpb``. On TPU, ``pltpu.bitcast(int32[W, C], int8)``
+    expands SUBLANES in byte order, so each bit-field plane is ONE int32
+    shift + ONE replicated mask on the quarter-size word tile, bitcast to
+    int8 rows that are already in channel order — ~5x fewer VPU ops than
+    per-element shift/mask/concat unpack (the old strided layout).
     """
-    fpi = 32 // bits
-    mask = jnp.uint32((1 << bits) - 1)
-    w = words_t.astype(jnp.uint32)
-    parts = [
-        ((w >> jnp.uint32(j * bits)) & mask).astype(jnp.int32)
-        for j in range(fpi)
-    ]
-    return jnp.concatenate(parts, axis=0)
+    vpb = 8 // bits
+    parts = []
+    for m in range(vpb):
+        wm = words_t if m == 0 else jax.lax.shift_right_logical(
+            pltpu.bitcast(words_t, jnp.uint32), jnp.uint32(m * bits))
+        if bits != 8:
+            wm = pltpu.bitcast(wm, jnp.int32) & jnp.int32(_REP_MASK[bits])
+        else:
+            wm = pltpu.bitcast(wm, jnp.int32)
+        if interpret:
+            b = jax.lax.bitcast_convert_type(wm, jnp.int8)  # [W, C, 4]
+            b = jnp.moveaxis(b, -1, 1).reshape(
+                wm.shape[0] * 4, wm.shape[1])
+        else:
+            b = pltpu.bitcast(wm, jnp.int8)                 # [4W, C]
+        v = b.astype(jnp.bfloat16)
+        if bits == 8:
+            # int8 bitcast is signed; 8-bit codes span [0, 255]
+            v = jnp.where(v < 0, v + 256.0, v)
+        parts.append(v)
+    return jnp.concatenate(parts, axis=0) if vpb > 1 else parts[0]
 
 
 def _dot(a, b, dims):
@@ -113,7 +133,7 @@ def _decode_kernel(
     # scratch
     acc_ref, m_ref, l_ref,
     *, bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    hkv: int = 1,
+    hkv: int = 1, interpret: bool = False,
     ablate: frozenset = frozenset(),
 ):
     bh = pl.program_id(0)
@@ -149,7 +169,8 @@ def _decode_kernel(
             kcodes = jnp.concatenate(
                 [w] * (32 // bits), axis=0).astype(bf)
         else:
-            kcodes = _unpack_words_i32(_b(kcodes_ref, 2), bits).astype(bf)
+            kcodes = _unpack_words_bf16(_b(kcodes_ref, 2), bits,
+                                        interpret=interpret)
         qf32 = q_ref[0]                                     # [GQ, D] f32
         kscale = _b(kscale_ref, 2).astype(f32)              # [CB, D]
         s_parts = []
@@ -200,7 +221,8 @@ def _decode_kernel(
         if "nov" in ablate:                     # profiling aid: skip V side
             pv = jnp.zeros((gq, d), f32)
         else:
-            vcodes = _unpack_words_i32(_b(vcodes_ref, 2), bits).astype(bf)
+            vcodes = _unpack_words_bf16(_b(vcodes_ref, 2), bits,
+                                        interpret=interpret)
             pv_parts = []
             for i in range(ngv):
                 vs_i = _b(vscale_ref, 2)[i:i + 1, :].astype(f32)
@@ -320,7 +342,7 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, hkv=hkv, ablate=ablate)
+        blocks_per_chunk=cb, hkv=hkv, interpret=interpret, ablate=ablate)
 
     out = pl.pallas_call(
         kernel,
@@ -492,7 +514,7 @@ def decode_attention_paged(
         # bt_ref drives the index_maps only; the kernel body never reads it.
         _decode_kernel(lens_ref, pad_ref, *args,
                        bits=bits, group=group, v_group=v_group,
-                       blocks_per_chunk=cb, hkv=hkv)
+                       blocks_per_chunk=cb, hkv=hkv, interpret=interpret)
 
     def tok(i, j, lens_, pad_, bt_):
         return (bt_[i // hkv, j], i % hkv, 0, 0)
@@ -616,7 +638,7 @@ def _decode_kernel_c(
     out_ref,      # [1, GQ, D] f32
     acc_ref, m_ref, l_ref,
     *, bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    hkv: int = 1, rank: int = 4,
+    hkv: int = 1, rank: int = 4, interpret: bool = False,
 ):
     bh = pl.program_id(0)
     nc = pl.program_id(1)
@@ -646,7 +668,7 @@ def _decode_kernel_c(
         tok = tok_ref[0]
         blk = blk_ref[0]                                    # [CB, 2+2R, D]
 
-        kcodes = _unpack_words_i32(codes[:wd], bits).astype(bf)
+        kcodes = _unpack_words_bf16(codes[:wd], bits, interpret=interpret)
         kscale = blk[:, 0, :].astype(f32)                   # [CB, D]
         s_parts = []
         for c in range(cb):
@@ -680,7 +702,7 @@ def _decode_kernel_c(
         l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         p_bf = p.astype(bf)
 
-        vcodes = _unpack_words_i32(codes[wd:], bits).astype(bf)
+        vcodes = _unpack_words_bf16(codes[wd:], bits, interpret=interpret)
         pv_parts = []
         for i in range(ngv):
             vs_i = tok[2 * r + i:2 * r + i + 1, :].astype(f32)
@@ -763,7 +785,7 @@ def decode_attention_c(
 
     kernel = functools.partial(
         _decode_kernel_c, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, hkv=hkv, rank=rank)
+        blocks_per_chunk=cb, hkv=hkv, rank=rank, interpret=interpret)
 
     out = pl.pallas_call(
         kernel,

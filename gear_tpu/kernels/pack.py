@@ -8,7 +8,7 @@ materializing intermediate codes in HBM.
 
 Two entry points matching the cache layouts (gear_tpu.cache):
   * :func:`quant_pack_tokens`  — V-style: groups along the head dim
-    (per-token scales), codes packed strided along the head dim.
+    (per-token scales), codes byte-strided-packed along the head dim.
   * :func:`quant_pack_channels` — K-style: groups along time (per-channel
     scales), codes still packed along the head dim (packing dim is decoupled
     from grouping dim).
@@ -25,16 +25,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _pack_strided(codes, bits: int):
-    """[..., n] int32 codes -> [..., n*bits//32] int32 words (strided lanes)."""
-    fpi = 32 // bits
+def _pack_bytestrided(codes, bits: int):
+    """[..., n] int32 codes -> [..., n*bits//32] int32 words, BYTE-STRIDED
+    layout (quant.pack_codes_bytestrided semantics).
+
+    Bit-field planes OR into a byte array along lanes; the 4:1 lane
+    compaction bytes->words runs as two exact f32 selection matmuls (values
+    <= 65535 < 2^24; Mosaic has no strided lane slicing in-kernel).
+    """
+    vpb = 8 // bits
     n = codes.shape[-1]
-    w = n // fpi
-    acc = codes[..., 0 * w:1 * w].astype(jnp.uint32)
-    for j in range(1, fpi):
-        acc = acc | (codes[..., j * w:(j + 1) * w].astype(jnp.uint32)
-                     << jnp.uint32(j * bits))
-    return acc.astype(jnp.int32)
+    nb = n // vpb
+    byte = codes[..., :nb].astype(jnp.uint32)
+    for m in range(1, vpb):
+        byte = byte | (codes[..., m * nb:(m + 1) * nb].astype(jnp.uint32)
+                       << jnp.uint32(m * bits))
+    w = nb // 4
+    # selection matrices: S_lo[b, w] = 1 if b==4w, 256 if b==4w+1;
+    #                     S_hi[b, w] = 1 if b==4w+2, 256 if b==4w+3.
+    brow = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 0)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (nb, w), 1)
+    s_lo = (jnp.where(brow == 4 * wcol, 1.0, 0.0)
+            + jnp.where(brow == 4 * wcol + 1, 256.0, 0.0)).astype(jnp.float32)
+    s_hi = (jnp.where(brow == 4 * wcol + 2, 1.0, 0.0)
+            + jnp.where(brow == 4 * wcol + 3, 256.0, 0.0)).astype(jnp.float32)
+    bf32 = byte.astype(jnp.float32)
+    dims = (((bf32.ndim - 1,), (0,)), ((), ()))
+    lo16 = jax.lax.dot_general(bf32, s_lo, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    hi16 = jax.lax.dot_general(bf32, s_hi, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    word = lo16.astype(jnp.uint32) | (hi16.astype(jnp.uint32)
+                                      << jnp.uint32(16))
+    return word.astype(jnp.int32)
 
 
 def _token_kernel(x_ref, codes_ref, scale_ref, mn_ref, *, bits, v_group):
@@ -55,7 +80,7 @@ def _token_kernel(x_ref, codes_ref, scale_ref, mn_ref, *, bits, v_group):
         scales.append(scale)
         mns.append(mn)
     codes = jnp.concatenate(code_parts, axis=-1)            # [TM, D]
-    codes_ref[...] = _pack_strided(codes, bits)
+    codes_ref[...] = _pack_bytestrided(codes, bits)
     scale_ref[...] = jnp.concatenate(scales, axis=-1).astype(scale_ref.dtype)
     mn_ref[...] = jnp.concatenate(mns, axis=-1).astype(mn_ref.dtype)
 
@@ -69,7 +94,7 @@ def _channel_kernel(x_ref, codes_ref, scale_ref, mn_ref, *, bits):
     scale = (mx - mn) / levels
     safe = jnp.where(scale == 0.0, 1.0, scale)
     codes = jnp.clip(jnp.round((x - mn) / safe), 0, levels).astype(jnp.int32)
-    codes_ref[0] = _pack_strided(codes, bits)
+    codes_ref[0] = _pack_bytestrided(codes, bits)
     scale_ref[0] = scale.astype(scale_ref.dtype)
     mn_ref[0] = mn.astype(mn_ref.dtype)
 

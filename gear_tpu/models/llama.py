@@ -332,6 +332,58 @@ def forward_decode(
     return logits[:, 0], caches
 
 
+def forward_decode_seqsharded(
+    params: dict,
+    cfg: ModelConfig,
+    token: jax.Array,       # [B] int32
+    position: jax.Array,    # [B] int32
+    caches,                 # LayerCache leaves [L, NSHARD, ...] (seq-sharded)
+    mesh,
+    *,
+    spec: CacheSpec,
+    axis: str = "seq",
+    pad_start: jax.Array | None = None,
+    prng: jax.Array | None = None,
+):
+    """One decode step with the compressed KV SHARDED ALONG TIME over the
+    mesh's ``seq`` axis (context parallelism — survey §2.5, absent from the
+    reference). Params and activations are replicated over the axis; each
+    device holds T/n blocks of packed codes + sidebands + low-rank bases,
+    appends land on the last shard, and partial flash states merge with one
+    O(B*Hq*D) psum per layer — the compressed KV never moves.
+    """
+    from ..parallel import context as ctx
+
+    b = token.shape[0]
+    h = params["embed"][token].astype(cfg.dtype)[:, None]
+    cos, sin = rope_cos_sin(position[:, None], cfg.head_dim, cfg.rope_theta)
+    if prng is None:
+        prng = jax.random.PRNGKey(0)
+    layer_keys = jax.random.split(prng, cfg.num_layers)
+
+    def body(h, xs):
+        lp, lcache, lkey = xs
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn, lcache = ctx.seq_sharded_append_attend(
+            spec, lcache, k, v, q, mesh, axis=axis, key=lkey,
+            pad_start=pad_start)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, lcache
+
+    h, caches = jax.lax.scan(body, h, (params["layers"], caches, layer_keys))
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    logits = logits_from_hidden(params, cfg, h)
+    return logits[:, 0], caches
+
+
 def forward_decode_paged(
     params: dict,
     cfg: ModelConfig,

@@ -126,3 +126,84 @@ def seq_sharded_attend(
         return (num / den[..., None]).astype(q_rep.dtype)
 
     return run(sharded_cache, q, pad_start)
+
+
+def seq_sharded_append_attend(
+    spec: CacheSpec,
+    sharded_cache: LayerCache,   # leaves with leading shard axis
+    k_new: jax.Array,            # [B, H, 1, D] replicated
+    v_new: jax.Array,
+    q: jax.Array,                # [B, Hq, Qn, D] replicated
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    key: jax.Array | None = None,
+    use_lowrank: bool = True,
+    sm_scale: float | None = None,
+    pad_start: jax.Array | None = None,
+):
+    """One decode step over a seq-sharded cache: append the new token on the
+    LAST shard (residual tier + local flush), then partial-attend + merge.
+
+    Returns (attention output [B, Hq, Qn, D] replicated, updated cache).
+    The flush PRNG chain folds the GLOBAL position, so generations match the
+    unsharded engine token-for-token.
+    """
+    n_shards = mesh.shape[axis]
+    lspec = shard_spec(spec, n_shards)
+    ls = lspec.max_len
+    if pad_start is None:
+        pad_start = jnp.zeros((q.shape[0],), jnp.int32)
+    if key is None:
+        key = jax.random.PRNGKey(1)
+
+    cache_specs = jax.tree.map(lambda _: P(axis), sharded_cache)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(cache_specs, P(), P(), P(), P(), P()),
+        out_specs=(P(), cache_specs),
+    )
+    def run(local_cache, k1, v1, q_rep, pad_rep, key_rep):
+        local = jax.tree.map(lambda x: x[0], local_cache)
+        shard_id = jax.lax.axis_index(axis)
+        is_last = shard_id == n_shards - 1
+
+        # -- append on the last shard ---------------------------------------
+        # Flush PRNG folds the TOTAL compressed tokens (psum over shards) —
+        # the same value the unsharded cache.append folds — so generations
+        # match the unsharded engine token-for-token.
+        total_comp = jax.lax.psum(local.comp_len, axis)
+        akey = jax.random.fold_in(key_rep, total_comp)
+        i = local.resid_len
+        appended = local.replace(
+            k_resid=jax.lax.dynamic_update_slice(
+                local.k_resid, k1.astype(lspec.dtype), (0, 0, i, 0)),
+            v_resid=jax.lax.dynamic_update_slice(
+                local.v_resid, v1.astype(lspec.dtype), (0, 0, i, 0)),
+            resid_len=i + 1,
+        )
+        def _fl(c):
+            out = kvcache._flush(lspec, c, akey, use_lowrank)
+            # _flush writes a CONSTANT 0 resid_len; derive it from the
+            # varying input so both cond branches type-match under
+            # shard_map's varying-axis checks.
+            return out.replace(resid_len=c.resid_len * 0)
+
+        appended = jax.lax.cond(
+            appended.resid_len == lspec.group, _fl, lambda c: c, appended)
+        local = jax.tree.map(
+            lambda upd, old: jnp.where(is_last, upd, old), appended, local)
+
+        # -- partial flash attention + online-softmax merge ----------------
+        acc, m, l = kvcache.attend_partial(
+            lspec, local, q_rep, sm_scale=sm_scale,
+            pad_start=pad_rep, token_offset=shard_id * ls)
+        m_tot = jax.lax.pmax(m, axis)
+        a = jnp.where(m > -1e29, jnp.exp(m - m_tot), 0.0)
+        num = jax.lax.psum(acc * a[..., None], axis)
+        den = jax.lax.psum(l * a, axis)
+        out = (num / den[..., None]).astype(q_rep.dtype)
+        return out, jax.tree.map(lambda x: x[None], local)
+
+    return run(sharded_cache, k_new, v_new, q, pad_start, key)

@@ -21,38 +21,42 @@
 
 extern "C" {
 
-// Strided pack: word w of each n-element row holds codes {j*W + w} at bit
-// position j*bits, W = n * bits / 32. Matches
-// gear_tpu/core/quant.py::pack_codes_strided.
+// Byte-strided pack: byte c of each n-element row's byte array holds codes
+// {c + m * (n/vpb)} at bit position m*bits, vpb = 8/bits; int32 word w =
+// bytes 4w..4w+3 little-endian. Matches
+// gear_tpu/core/quant.py::pack_codes_bytestrided (the TPU-kernel-native
+// layout: bitcast int32->int8 on TPU expands sublanes in byte order).
 static void pack_strided(const uint8_t* codes, uint32_t* words,
                          int64_t rows, int64_t n, int bits) {
-  const int fpi = 32 / bits;
-  const int64_t w = n / fpi;
+  const int vpb = 8 / bits;
+  const int64_t nb = n / vpb;
+  const int64_t w = nb / 4;
   for (int64_t r = 0; r < rows; ++r) {
     const uint8_t* src = codes + r * n;
-    uint32_t* dst = words + r * w;
-    for (int64_t i = 0; i < w; ++i) {
-      uint32_t acc = 0;
-      for (int j = 0; j < fpi; ++j) {
-        acc |= static_cast<uint32_t>(src[j * w + i]) << (j * bits);
+    uint8_t* dst = reinterpret_cast<uint8_t*>(words + r * w);
+    for (int64_t c = 0; c < nb; ++c) {
+      uint8_t acc = 0;
+      for (int m = 0; m < vpb; ++m) {
+        acc |= static_cast<uint8_t>(src[c + m * nb] << (m * bits));
       }
-      dst[i] = acc;
+      dst[c] = acc;  // little-endian: byte c of the word stream
     }
   }
 }
 
 static void unpack_strided(const uint32_t* words, uint8_t* codes,
                            int64_t rows, int64_t n, int bits) {
-  const int fpi = 32 / bits;
-  const int64_t w = n / fpi;
-  const uint32_t mask = (1u << bits) - 1u;
+  const int vpb = 8 / bits;
+  const int64_t nb = n / vpb;
+  const int64_t w = nb / 4;
+  const uint8_t mask = static_cast<uint8_t>((1u << bits) - 1u);
   for (int64_t r = 0; r < rows; ++r) {
-    const uint32_t* src = words + r * w;
+    const uint8_t* src = reinterpret_cast<const uint8_t*>(words + r * w);
     uint8_t* dst = codes + r * n;
-    for (int64_t i = 0; i < w; ++i) {
-      const uint32_t word = src[i];
-      for (int j = 0; j < fpi; ++j) {
-        dst[j * w + i] = static_cast<uint8_t>((word >> (j * bits)) & mask);
+    for (int64_t c = 0; c < nb; ++c) {
+      const uint8_t b = src[c];
+      for (int m = 0; m < vpb; ++m) {
+        dst[c + m * nb] = static_cast<uint8_t>((b >> (m * bits)) & mask);
       }
     }
   }

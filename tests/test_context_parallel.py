@@ -97,3 +97,32 @@ def test_seq_sharded_attend_pad_and_residual_on_mesh(rng):
     got = ctx.seq_sharded_attend(spec, sharded, q, mesh, pad_start=pad)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_engine_seq_parallel_matches_plain(rng):
+    """Engine decode with seq-sharded compressed KV (shard_seq) emits the
+    same greedy tokens as the plain fused engine."""
+    from jax.sharding import Mesh
+    from gear_tpu.config import CompressionConfig
+    from gear_tpu.engine import EngineConfig, InferenceEngine
+    from gear_tpu.models import llama
+
+    cfg = llama.ModelConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    comp = CompressionConfig(num_layers=cfg.num_layers,
+                             compress_method="GEARL", quantize_bit=8,
+                             group_size=16, rank=2, prefill_rank=2, loop=2)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    n_new = 40  # crosses two residual flushes on the last shard
+
+    plain = InferenceEngine(cfg, params, comp,
+                            EngineConfig(max_len=128, mode="fused"),
+                            batch_size=2)
+    want = plain.generate(prompts, n_new)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    eng = InferenceEngine(cfg, params, comp,
+                          EngineConfig(max_len=128, mode="fused"),
+                          batch_size=2).shard_seq(mesh)
+    got = eng.generate(prompts, n_new)
+    assert got == want, (got, want)

@@ -14,7 +14,7 @@ def test_quant_pack_tokens_matches_xla(rng, bits):
     packed, scale, mn = P.quant_pack_tokens(
         x, bits=bits, v_group=vg, sideband_dtype=jnp.float32, interpret=True)
     codes_ref, scale_ref, mn_ref = quant.quantize_groups(x, bits, vg)
-    packed_ref = quant.pack_codes_strided(codes_ref, bits)
+    packed_ref = quant.pack_codes_bytestrided(codes_ref, bits)
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(packed_ref))
     np.testing.assert_allclose(np.asarray(scale), np.asarray(scale_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(mn), np.asarray(mn_ref), rtol=1e-6)
