@@ -101,6 +101,13 @@ def main():
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(dt_bf16 / dt_fused, 3),
+        "us_per_step_fused": round(dt_fused * 1e6, 1),
+        "us_per_step_bf16": round(dt_bf16 * 1e6, 1),
+        "kv_mb_compressed": round(spec.bytes_compressed() / 1e6, 1),
+        "kv_mb_bf16": round(spec.bytes_fp16_baseline() / 1e6, 1),
+        "kv_compression": round(
+            spec.bytes_fp16_baseline() / spec.bytes_compressed(), 2),
+        "kernel_rel_err": round(rel, 4),
     }))
 
 

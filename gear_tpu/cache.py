@@ -58,6 +58,15 @@ class CacheSpec:
     base_bits: int = 16   # 16 = bf16 P/Q bases; 8 = int8-quantized bases
                           # (reference: true_poweriteration_quantized,
                           # old_models/CompressUtils/TrueCompressFunction.py:166-207)
+    outliers_per_block: int = 0
+                          # exact entries kept per (head, quant-block) per
+                          # tensor, half largest / half smallest BY VALUE
+                          # (reference `left` fraction, gears_channelQ /
+                          # gears_tokenQ, compress_function.py:261-333:
+                          # left=0.02 -> ~0.02 * group * head_dim). Stored
+                          # as fixed-size COO (flat idx + exact value);
+                          # restored by scatter before the low-rank error
+                          # is computed (reference order). 0 = GEARL.
     dtype: jnp.dtype = jnp.bfloat16
     sideband_dtype: jnp.dtype = jnp.bfloat16
 
@@ -70,6 +79,10 @@ class CacheSpec:
             raise ValueError("group must be a multiple of feats-per-int32")
         if self.base_bits not in (8, 16):
             raise ValueError("base_bits must be 8 or 16")
+        if self.outliers_per_block < 0 or self.outliers_per_block % 2:
+            raise ValueError("outliers_per_block must be even and >= 0")
+        if self.outliers_per_block > self.group * self.head_dim // 2:
+            raise ValueError("outliers_per_block too large")
 
     @property
     def fpi(self) -> int:
@@ -119,6 +132,9 @@ class CacheSpec:
         total += 2 * b * h * t * self.r_store * base_el
         if self.base_bits == 8:  # per-(block, rank) f32 scales
             total += 4 * b * h * self.n_blocks * self.r_store * 4
+        ko = self.outliers_per_block
+        if ko:  # COO outliers: int32 idx + exact value, per tensor
+            total += 2 * b * h * self.n_blocks * ko * (4 + 2)
         return total
 
     def bytes_fp16_baseline(self) -> int:
@@ -154,6 +170,13 @@ class LayerCache:
     kqt: jax.Array       # [B, H, r_store, max_len]
     vpt: jax.Array       # [B, H, n_blocks, r_store, head_dim]
     vqt: jax.Array       # [B, H, r_store, max_len]
+    # Fixed-size COO outliers per quant block (flat idx = t_loc * D + d for
+    # K, d-major within the block for V too; empty when outliers_per_block
+    # == 0). Values are the EXACT original entries.
+    k_out_idx: jax.Array  # int32 [B, H, n_blocks, KO]
+    k_out_val: jax.Array  # [B, H, n_blocks, KO]
+    v_out_idx: jax.Array  # int32 [B, H, n_blocks, KO]
+    v_out_val: jax.Array  # [B, H, n_blocks, KO]
     # int8-base scales (all-ones when base_bits == 16).
     kpt_scale: jax.Array  # [B, H, n_blocks, r_store]
     kqt_scale: jax.Array  # [B, H, r_store, n_blocks]
@@ -185,6 +208,14 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
         kqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
         vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), base_dt),
         vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
+        k_out_idx=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
+                            jnp.int32),
+        k_out_val=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
+                            spec.dtype),
+        v_out_idx=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
+                            jnp.int32),
+        v_out_val=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
+                            spec.dtype),
         kpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
         kqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
         vpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
@@ -198,6 +229,61 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
 # Compression of a block of tokens (prefill or residual flush).
 # ---------------------------------------------------------------------------
 
+def _extract_outliers(spec: CacheSpec, x: jax.Array):
+    """Pull the per-block largest/smallest entries out of a block [B,H,S,D].
+
+    Reference semantics (gears_channelQ/tokenQ, compress_function.py:261-333):
+    the `left` fraction of entries, half largest / half smallest BY VALUE,
+    replaced with the mean before quantization (tightening the min/max
+    range), their exact values kept aside and restored after dequantization.
+    TPU-static redesign: a FIXED count per (head, quant-block) instead of a
+    data-dependent fraction per channel/token, so shapes stay jit-static.
+
+    Returns (x_cleaned, idx int32 [B,H,NBs,KO], val [B,H,NBs,KO]) with flat
+    block indices idx = t_local * D + d.
+    """
+    ko = spec.outliers_per_block
+    b, h, s_len, d = x.shape
+    g = spec.group
+    nbs = s_len // g
+    xf = x.astype(jnp.float32).reshape(b, h, nbs, g * d)
+    top_v, top_i = jax.lax.top_k(xf, ko // 2)
+    bot_nv, bot_i = jax.lax.top_k(-xf, ko // 2)
+    idx = jnp.concatenate([top_i, bot_i], axis=-1)          # [B,H,NBs,KO]
+    val = jnp.concatenate([top_v, -bot_nv], axis=-1)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    # single flat 1-D scatter (a vmapped per-row scatter inside the flush
+    # cond triggers an XLA:CPU compiler crash in later compilations)
+    nrows = b * h * nbs
+    flat_x = xf.reshape(nrows * g * d)
+    gidx = (idx.reshape(nrows, ko)
+            + (jnp.arange(nrows, dtype=jnp.int32) * (g * d))[:, None])
+    flat_m = jnp.broadcast_to(mean, idx.shape).reshape(nrows * ko)
+    cleaned = flat_x.at[gidx.reshape(-1)].set(flat_m)
+    return (cleaned.reshape(b, h, s_len, d), idx,
+            val.astype(spec.dtype))
+
+
+def _restore_outliers(spec: CacheSpec, x: jax.Array, idx: jax.Array,
+                      val: jax.Array) -> jax.Array:
+    """Scatter exact outlier values back into a dequantized block [B,H,S,D].
+
+    Runs BEFORE the low-rank error is computed, matching the reference
+    order (quantize-with-outliers -> restore -> error -> power iteration).
+    """
+    b, h, s_len, d = x.shape
+    g = spec.group
+    nbs = s_len // g
+    ko = idx.shape[-1]
+    nrows = b * h * nbs
+    flat_x = x.astype(jnp.float32).reshape(nrows * g * d)
+    gidx = (idx.reshape(nrows, ko)
+            + (jnp.arange(nrows, dtype=jnp.int32) * (g * d))[:, None])
+    flat_v = val.astype(jnp.float32).reshape(nrows * ko)
+    out = flat_x.at[gidx.reshape(-1)].set(flat_v)
+    return out.reshape(b, h, s_len, d)
+
+
 def _compress_k_block(spec: CacheSpec, k: jax.Array):
     """K block [B,H,S,D] -> per-channel quant (groups along time), codes
     token-major and packed along the head dim.
@@ -209,6 +295,12 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
     b, h, s_len, d = k.shape
     g = spec.group
     nbs = s_len // g
+    if spec.outliers_per_block:
+        k, o_idx, o_val = _extract_outliers(spec, k)
+    else:
+        ko = spec.outliers_per_block
+        o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
+        o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
     levels = (1 << spec.bits) - 1
     kg = k.astype(jnp.float32).reshape(b, h, nbs, g, d)
     mn = jnp.min(kg, axis=3)            # [B,H,NBs,D]
@@ -221,7 +313,7 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
     packed = quant.pack_codes_bytestrided(codes, spec.bits)  # [B,H,S,WD]
     packed = jnp.swapaxes(packed, -1, -2)                # [B,H,WD,S]
     return (packed, scale.astype(spec.sideband_dtype),
-            mn.astype(spec.sideband_dtype))
+            mn.astype(spec.sideband_dtype), o_idx, o_val)
 
 
 def _compress_v_block(spec: CacheSpec, v: jax.Array):
@@ -230,14 +322,24 @@ def _compress_v_block(spec: CacheSpec, v: jax.Array):
 
     Returns (packed int32 [B,H,D//fpi,S], scale [B,H,D//v_group,S], mn).
     """
+    b, h, s_len, d = v.shape
+    nbs = s_len // spec.group
+    if spec.outliers_per_block:
+        v, o_idx, o_val = _extract_outliers(spec, v)
+    else:
+        ko = spec.outliers_per_block
+        o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
+        o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
     codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
     packed = jnp.swapaxes(quant.pack_codes_bytestrided(codes, spec.bits), -1, -2)
     return (packed, jnp.swapaxes(scale, -1, -2).astype(spec.sideband_dtype),
-            jnp.swapaxes(mn, -1, -2).astype(spec.sideband_dtype))
+            jnp.swapaxes(mn, -1, -2).astype(spec.sideband_dtype),
+            o_idx, o_val)
 
 
-def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
-    """Inverse of _compress_k_block -> [B,H,S,D]."""
+def _dequant_k_block(spec: CacheSpec, packed, scale, mn,
+                     o_idx=None, o_val=None):
+    """Inverse of _compress_k_block -> [B,H,S,D] (exact outliers restored)."""
     b, h, _, s_len = packed.shape
     nbs = s_len // spec.group
     codes = quant.unpack_codes_bytestrided(
@@ -246,15 +348,22 @@ def _dequant_k_block(spec: CacheSpec, packed, scale, mn):
     cg = codes.astype(jnp.float32).reshape(b, h, nbs, spec.group, d)
     x = (cg * scale.astype(jnp.float32)[:, :, :, None]
          + mn.astype(jnp.float32)[:, :, :, None])
-    return x.reshape(b, h, s_len, d)
+    x = x.reshape(b, h, s_len, d)
+    if spec.outliers_per_block and o_idx is not None:
+        x = _restore_outliers(spec, x, o_idx, o_val)
+    return x
 
 
-def _dequant_v_block(spec: CacheSpec, packed, scale, mn):
+def _dequant_v_block(spec: CacheSpec, packed, scale, mn,
+                     o_idx=None, o_val=None):
     codes = quant.unpack_codes_bytestrided(jnp.swapaxes(packed, -1, -2), spec.bits)
-    return quant.dequantize_groups(
+    x = quant.dequantize_groups(
         codes, jnp.swapaxes(scale, -1, -2).astype(jnp.float32),
         jnp.swapaxes(mn, -1, -2).astype(jnp.float32), spec.v_group
     )
+    if spec.outliers_per_block and o_idx is not None:
+        x = _restore_outliers(spec, x, o_idx, o_val)
+    return x
 
 
 def _error_bases(spec: CacheSpec, x, x_hat, rank: int, key):
@@ -308,8 +417,8 @@ def prefill(
 
     if n_full:
         kb, vb = k[:, :, :n_full], v[:, :, :n_full]
-        k_pack, k_scale, k_mn = _compress_k_block(spec, kb)
-        v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
+        k_pack, k_scale, k_mn, ko_i, ko_v = _compress_k_block(spec, kb)
+        v_pack, v_scale, v_mn, vo_i, vo_v = _compress_v_block(spec, vb)
         nbs = n_full // g
         cache = cache.replace(
             k_codes=cache.k_codes.at[:, :, :, :n_full].set(k_pack),
@@ -320,10 +429,17 @@ def prefill(
             v_mn=cache.v_mn.at[:, :, :, :n_full].set(v_mn),
             comp_len=jnp.int32(n_full),
         )
+        if spec.outliers_per_block:  # avoid zero-size array updates
+            cache = cache.replace(
+                k_out_idx=cache.k_out_idx.at[:, :, :nbs].set(ko_i),
+                k_out_val=cache.k_out_val.at[:, :, :nbs].set(ko_v),
+                v_out_idx=cache.v_out_idx.at[:, :, :nbs].set(vo_i),
+                v_out_val=cache.v_out_val.at[:, :, :nbs].set(vo_v),
+            )
         if use_lowrank and spec.prefill_rank > 0:
             kk, kv = jax.random.split(key)
-            k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
-            v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
+            k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn, ko_i, ko_v)
+            v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn, vo_i, vo_v)
             kp1, kqt1, kps1, kqs1 = _error_bases(
                 spec, kb, k_hat, spec.prefill_rank, kk)
             vp1, vqt1, vps1, vqs1 = _error_bases(
@@ -370,8 +486,8 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
     g = spec.group
     kb = cache.k_resid.astype(jnp.float32)
     vb = cache.v_resid.astype(jnp.float32)
-    k_pack, k_scale, k_mn = _compress_k_block(spec, kb)  # [B,H,WD,g],[B,H,1,D]
-    v_pack, v_scale, v_mn = _compress_v_block(spec, vb)
+    k_pack, k_scale, k_mn, ko_i, ko_v = _compress_k_block(spec, kb)
+    v_pack, v_scale, v_mn, vo_i, vo_v = _compress_v_block(spec, vb)
 
     blk = cache.comp_len // g
     b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
@@ -396,10 +512,21 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
         comp_len=cache.comp_len + g,
         resid_len=jnp.int32(0),
     )
+    if spec.outliers_per_block:  # avoid zero-size array updates
+        upd.update(
+            k_out_idx=jax.lax.dynamic_update_slice(
+                cache.k_out_idx, ko_i, (0, 0, blk, 0)),
+            k_out_val=jax.lax.dynamic_update_slice(
+                cache.k_out_val, ko_v, (0, 0, blk, 0)),
+            v_out_idx=jax.lax.dynamic_update_slice(
+                cache.v_out_idx, vo_i, (0, 0, blk, 0)),
+            v_out_val=jax.lax.dynamic_update_slice(
+                cache.v_out_val, vo_v, (0, 0, blk, 0)),
+        )
     if use_lowrank and spec.rank > 0:
         kk, kv = jax.random.split(jax.random.fold_in(key, 0))
-        k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn)
-        v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn)
+        k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn, ko_i, ko_v)
+        v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn, vo_i, vo_v)
         kp1, kqt1, kps1, kqs1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
         vp1, vqt1, vps1, vqs1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
         upd.update(
@@ -502,8 +629,10 @@ def base_vqt(spec: CacheSpec, cache: LayerCache) -> jax.Array:
 def dequantize_kv(spec: CacheSpec, cache: LayerCache):
     """Materialize the full reconstructed K/V [B,H,max_len,D] (prefix tier
     only; includes low-rank correction). For tests and the fallback path."""
-    k = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
-    v = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
+    k = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn,
+                         cache.k_out_idx, cache.k_out_val)
+    v = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn,
+                         cache.v_out_idx, cache.v_out_val)
     b, h = spec.batch, spec.num_kv_heads
     nb, g, r = spec.n_blocks, spec.group, spec.r_store
     kqt = base_kqt(spec, cache).reshape(b, h, r, nb, g)
@@ -546,7 +675,8 @@ def attend(
     qf = q.reshape(b, hkv, gq * qn, d).astype(jnp.float32)
 
     # --- scores: packed prefix ---
-    k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
+    k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn,
+                             cache.k_out_idx, cache.k_out_val)
     scores_q = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)  # k_deq [B,H,T,D]
     # low-rank correction: q·P per block, dotted with per-token Q columns
     kpt = base_kpt(spec, cache)
@@ -574,7 +704,8 @@ def attend(
     wc, wr = w[..., :t], w[..., t:]
 
     # --- PV: packed prefix ---
-    v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
+    v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn,
+                             cache.v_out_idx, cache.v_out_val)
     out = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
     vpt = base_vpt(spec, cache)
     vqt = base_vqt(spec, cache).reshape(b, hkv, r, nb, g)
@@ -614,7 +745,8 @@ def attend_partial(
 
     qf = q.reshape(b, hkv, gq * qn, d).astype(jnp.float32)
 
-    k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn)
+    k_deq = _dequant_k_block(spec, cache.k_codes, cache.k_scale, cache.k_mn,
+                             cache.k_out_idx, cache.k_out_val)
     scores = jnp.einsum("bhqd,bhtd->bhqt", qf, k_deq)
     kpt = base_kpt(spec, cache)
     kqt = base_kqt(spec, cache).reshape(b, hkv, r, nb, g)
@@ -644,7 +776,8 @@ def attend_partial(
     w = jnp.where(jnp.isfinite(scores), jnp.exp(scores - m_safe[..., None]), 0.0)
     l = jnp.sum(w, axis=-1)
     wc = w[..., :t]
-    v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn)
+    v_deq = _dequant_v_block(spec, cache.v_codes, cache.v_scale, cache.v_mn,
+                             cache.v_out_idx, cache.v_out_val)
     acc = jnp.einsum("bhqt,bhtd->bhqd", wc, v_deq)
     vpt = base_vpt(spec, cache)
     vqt = base_vqt(spec, cache).reshape(b, hkv, r, nb, g)

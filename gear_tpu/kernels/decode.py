@@ -397,7 +397,17 @@ def attend_fused(
     ablate: frozenset = frozenset(),
 ) -> jax.Array:
     """Drop-in replacement for gear_tpu.cache.attend using the Pallas fused
-    kernel for both tiers (packed prefix + residual) of the cache."""
+    kernel for both tiers (packed prefix + residual) of the cache.
+
+    COO outliers (spec.outliers_per_block > 0) fall back to the XLA attend
+    path, which restores them exactly — the reference's own fused CUDA path
+    never implemented its outlier slots (modeling_llamagear.py:458-466,
+    always None); here the capability exists but costs the Pallas fast
+    path (in-kernel scatter-free outlier folding is future work)."""
+    from .. import cache as _cache_mod0
+    if spec.outliers_per_block:
+        return _cache_mod0.attend(spec, cache, q, sm_scale=sm_scale,
+                                  pad_start=pad_start)
     b, hq, qn, d = q.shape
     hkv = spec.num_kv_heads
     gq_n = (hq // hkv) * qn

@@ -96,6 +96,13 @@ class ModelConfig:
 
     def cache_spec(self, batch: int, max_len: int, comp) -> CacheSpec:
         """CacheSpec for this model from a LayerCompressionConfig."""
+        # GEAR methods carry outliers (`left` fraction of entries exact,
+        # reference run templates: left=0.02); GEARL/KIVI/KCVT do not.
+        ko = 0
+        if comp.compress_method.startswith("GEAR") and \
+                not comp.compress_method.startswith("GEARL"):
+            ko = int(comp.left * comp.group_size * self.head_dim)
+            ko -= ko % 2
         return CacheSpec(
             batch=batch,
             num_kv_heads=self.num_kv_heads,
@@ -106,6 +113,7 @@ class ModelConfig:
             rank=comp.rank,
             prefill_rank=comp.prefill_rank,
             lowrank_loop=comp.loop,
+            outliers_per_block=ko,
             dtype=self.dtype,
             sideband_dtype=self.dtype,
         )

@@ -54,6 +54,9 @@ class PagedSpec:
             raise NotImplementedError(
                 "paged pools store bf16 low-rank bases (int8 bases are a "
                 "dense-cache feature for now)")
+        if self.spec.outliers_per_block:
+            raise NotImplementedError(
+                "COO outliers are a dense-cache feature for now")
 
     @property
     def page_tokens(self) -> int:
@@ -329,8 +332,8 @@ def append_paged(
     def flush_row(pool, seqs, rowi, subkey):
         kb = seqs.k_resid[rowi:rowi + 1].astype(jnp.float32)
         vb = seqs.v_resid[rowi:rowi + 1].astype(jnp.float32)
-        k_pack, k_scale, k_mn = kvcache._compress_k_block(spec, kb)
-        v_pack, v_scale, v_mn = kvcache._compress_v_block(spec, vb)
+        k_pack, k_scale, k_mn, _, _ = kvcache._compress_k_block(spec, kb)
+        v_pack, v_scale, v_mn, _, _ = kvcache._compress_v_block(spec, vb)
         blk = seqs.comp_len[rowi] // g            # global block index
         pid = seqs.block_table[rowi, blk // pb]   # tail page
         off = blk % pb                            # block offset in page
@@ -421,12 +424,15 @@ def _gather_row(
         return g.reshape(g.shape[0], -1, *g.shape[3:])[None]
 
     ones = jnp.ones
+    zi = jnp.zeros((1, spec.num_kv_heads, spec.n_blocks, 0), jnp.int32)
+    zv = jnp.zeros((1, spec.num_kv_heads, spec.n_blocks, 0), spec.dtype)
     r, nb = spec.r_store, spec.n_blocks
     return kvcache.LayerCache(
         k_codes=gtok(pool.k_codes), k_scale=gblk(pool.k_scale),
         k_mn=gblk(pool.k_mn),
         v_codes=gtok(pool.v_codes), v_scale=gtok(pool.v_scale),
         v_mn=gtok(pool.v_mn),
+        k_out_idx=zi, k_out_val=zv, v_out_idx=zi, v_out_val=zv,
         k_resid=k_resid[None], v_resid=v_resid[None],
         kpt=gblk(pool.kpt), kqt=gtok(pool.kqt),
         vpt=gblk(pool.vpt), vqt=gtok(pool.vqt),

@@ -70,6 +70,10 @@ def split_cache(spec: CacheSpec, cache: LayerCache, n_shards: int
         v_resid=jnp.stack([
             jnp.where(i == n_shards - 1, cache.v_resid, zeros_resid)
             for i in range(n_shards)]),
+        k_out_idx=split_t(cache.k_out_idx, 2),
+        k_out_val=split_t(cache.k_out_val, 2),
+        v_out_idx=split_t(cache.v_out_idx, 2),
+        v_out_val=split_t(cache.v_out_val, 2),
         kpt=split_t(cache.kpt, 2),
         kqt=split_t(cache.kqt, 3),
         vpt=split_t(cache.vpt, 2),

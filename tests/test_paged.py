@@ -82,13 +82,16 @@ def test_append_flush_matches_dense(rng):
     seqs = seqs.replace(block_table=seqs.block_table.at[0, 1].set(al.alloc()))
 
     key = jax.random.PRNGKey(7)
+    dense_step = jax.jit(lambda c, kn, vn: C.append(spec, c, kn, vn, key=key))
+    paged_step = jax.jit(lambda pl_, sq_, kn, vn: P.append_paged(
+        pspec, pl_, sq_, kn, vn, key=key))
     for t in range(64 + 3):  # one full flush + a few extras
         kn = jnp.asarray(rng.standard_normal(
             (1, spec.num_kv_heads, 1, spec.head_dim)).astype(np.float32))
         vn = jnp.asarray(rng.standard_normal(
             (1, spec.num_kv_heads, 1, spec.head_dim)).astype(np.float32))
-        dense = C.append(spec, dense, kn, vn, key=key)
-        pool, seqs = P.append_paged(pspec, pool, seqs, kn, vn, key=key)
+        dense = dense_step(dense, kn, vn)
+        pool, seqs = paged_step(pool, seqs, kn, vn)
 
     assert int(seqs.comp_len[0]) == 128
     assert int(seqs.resid_len[0]) == 3
