@@ -55,8 +55,9 @@ MASK_VAL = -1e30
 _REP_MASK = {2: 0x03030303, 4: 0x0F0F0F0F}
 
 
-def _unpack_words_bf16(words_t, bits: int, interpret: bool = False):
-    """[WD, chunk] int32 words -> [D, chunk] bf16 codes, channel-major.
+def _unpack_parts_bf16(words_t, bits: int, interpret: bool = False):
+    """[WD, chunk] int32 words -> vpb bf16 part tiles [D/vpb, chunk]; part m
+    holds channels [m*D/vpb, (m+1)*D/vpb) in order (no concat relayout).
 
     BYTE-STRIDED layout (quant.pack_codes_bytestrided): byte 4w+k of a
     row's byte-array is channel 4w+k's m-th bit-field for channel
@@ -86,7 +87,13 @@ def _unpack_words_bf16(words_t, bits: int, interpret: bool = False):
             # int8 bitcast is signed; 8-bit codes span [0, 255]
             v = jnp.where(v < 0, v + 256.0, v)
         parts.append(v)
-    return jnp.concatenate(parts, axis=0) if vpb > 1 else parts[0]
+    return parts
+
+
+def _unpack_words_bf16(words_t, bits: int, interpret: bool = False):
+    """[WD, chunk] int32 words -> [D, chunk] bf16 codes, channel-major."""
+    parts = _unpack_parts_bf16(words_t, bits, interpret=interpret)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _dot(a, b, dims):
@@ -166,18 +173,28 @@ def _decode_kernel(
         # 217us -> 230-268us at 8k ctx; see commit log).
         if "noshift" in ablate:                 # profiling aid: skip unpack
             w = _b(kcodes_ref, 2)
-            kcodes = jnp.concatenate(
-                [w] * (32 // bits), axis=0).astype(bf)
+            vpb = 8 // bits if bits != 8 else 1
+            part = jnp.concatenate(
+                [w] * (d // vpb // w.shape[0]), axis=0).astype(bf)
+            kparts = [part] * vpb
         else:
-            kcodes = _unpack_words_bf16(_b(kcodes_ref, 2), bits,
+            kparts = _unpack_parts_bf16(_b(kcodes_ref, 2), bits,
                                         interpret=interpret)
+        dq = d // len(kparts)     # channels per unpacked part
         qf32 = q_ref[0]                                     # [GQ, D] f32
         kscale = _b(kscale_ref, 2).astype(f32)              # [CB, D]
         s_parts = []
         for c in range(cb):
             qs_c = (qf32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
-            s_parts.append(_dot(qs_c, kcodes[:, c * g:(c + 1) * g],
-                                (((1,), (0,)))))            # [GQ, g] f32
+            # the nibble parts feed the dots DIRECTLY (channel ranges
+            # [m*dq, (m+1)*dq)); no [D, CHUNK] concat relayout.
+            s_c = _dot(qs_c[:, :dq], kparts[0][:, c * g:(c + 1) * g],
+                       (((1,), (0,))))                      # [GQ, g] f32
+            for m in range(1, len(kparts)):
+                s_c = s_c + _dot(qs_c[:, m * dq:(m + 1) * dq],
+                                 kparts[m][:, c * g:(c + 1) * g],
+                                 (((1,), (0,))))
+            s_parts.append(s_c)
         s = jnp.concatenate(s_parts, axis=1)                # [GQ, CHUNK] f32
         if "nomn" not in ablate:
             # q.mn carries a large magnitude; keep it f32 end-to-end (a bf16
@@ -221,15 +238,27 @@ def _decode_kernel(
         if "nov" in ablate:                     # profiling aid: skip V side
             pv = jnp.zeros((gq, d), f32)
         else:
-            vcodes = _unpack_words_bf16(_b(vcodes_ref, 2), bits,
+            vparts = _unpack_parts_bf16(_b(vcodes_ref, 2), bits,
                                         interpret=interpret)
+            dqv = d // len(vparts)
+            if v_group % dqv == 0:
+                # part boundaries align with d-groups: slice parts directly
+                def vrows(i):
+                    lo_part, n_parts = (i * v_group) // dqv, v_group // dqv
+                    return (jnp.concatenate(
+                        vparts[lo_part:lo_part + n_parts], axis=0)
+                        if n_parts > 1 else vparts[lo_part])
+            else:
+                vcodes = jnp.concatenate(vparts, axis=0)    # [D, CHUNK]
+
+                def vrows(i):
+                    return vcodes[i * v_group:(i + 1) * v_group, :]
             pv_parts = []
             for i in range(ngv):
                 vs_i = _b(vscale_ref, 2)[i:i + 1, :].astype(f32)
                 ps = (p * vs_i).astype(bf)                  # [GQ, CHUNK]
-                pv_parts.append(_dot(
-                    ps, vcodes[i * v_group:(i + 1) * v_group, :],
-                    (((1,), (1,)))))                        # [GQ, v_group]
+                pv_parts.append(_dot(ps, vrows(i),
+                                     (((1,), (1,)))))       # [GQ, v_group]
             pv = (jnp.concatenate(pv_parts, axis=-1) if ngv > 1
                   else pv_parts[0])                         # [GQ, D] f32
             if "nomn" not in ablate:
