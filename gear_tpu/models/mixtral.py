@@ -110,8 +110,59 @@ def moe_block(x: jax.Array, router: jax.Array, wg, wu, wd, top_k: int):
                       gate).astype(x.dtype)
 
 
+def moe_block_ep(x, router, wg, wu, wd, top_k: int, mesh, axis="expert"):
+    """EXPERT-PARALLEL sparse-MoE FFN: expert weights sharded on their
+    leading NE axis over the mesh's ``axis``; every device computes the
+    routing identically (router is replicated), evaluates only its LOCAL
+    experts, and the weighted partial outputs merge with one psum.
+
+    survey §2.5: the reference ships the Mixtral fork with no EP (and no
+    compression hooks); this is new capability.
+    """
+    from functools import partial as _partial
+    from jax.sharding import PartitionSpec as P
+
+    ne = router.shape[-1]
+    n_shards = mesh.shape[axis]
+    nel = ne // n_shards
+
+    @_partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(x_rep, router_rep, wg_l, wu_l, wd_l):
+        logits = (x_rep.astype(jnp.float32)
+                  @ router_rep.astype(jnp.float32))          # [B,S,NE]
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_vals, _ = jax.lax.top_k(probs, top_k)
+        thresh = top_vals[..., -1:]
+        gate = jnp.where(probs >= thresh, probs, 0.0)
+        gate = gate / jnp.sum(gate, axis=-1, keepdims=True)
+        shard = jax.lax.axis_index(axis)
+        gate_l = jax.lax.dynamic_slice_in_dim(
+            gate, shard * nel, nel, axis=-1)                 # [B,S,NEL]
+        h_g = jnp.einsum("bse,nef->bnsf", x_rep, wg_l)
+        h_u = jnp.einsum("bse,nef->bnsf", x_rep, wu_l)
+        h = jax.nn.silu(h_g) * h_u
+        out = jnp.einsum("bnsf,nfe->bnse", h, wd_l)
+        part = jnp.einsum("bnse,bsn->bse", out.astype(jnp.float32), gate_l)
+        return jax.lax.psum(part, axis).astype(x_rep.dtype)
+
+    return run(x, router, wg, wu, wd)
+
+
+def _moe(x, lp, cfg, ep_mesh, ep_axis):
+    if ep_mesh is not None:
+        return moe_block_ep(x, lp["router"], lp["wg"], lp["wu"], lp["wd"],
+                            cfg.experts_per_token, ep_mesh, axis=ep_axis)
+    return moe_block(x, lp["router"], lp["wg"], lp["wu"], lp["wd"],
+                     cfg.experts_per_token)
+
+
 def forward_prefill(params, cfg: MixtralConfig, tokens, positions, attn_mask,
-                    spec: CacheSpec | None, *, compress=True, prng=None):
+                    spec: CacheSpec | None, *, compress=True, prng=None,
+                    ep_mesh=None, ep_axis="expert"):
     h = params["embed"][tokens].astype(cfg.dtype)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     if prng is None:
@@ -131,8 +182,7 @@ def forward_prefill(params, cfg: MixtralConfig, tokens, positions, attn_mask,
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
         h = h + attn @ lp["wo"]
         x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
-        h = h + moe_block(x2, lp["router"], lp["wg"], lp["wu"], lp["wd"],
-                          cfg.experts_per_token)
+        h = h + _moe(x2, lp, cfg, ep_mesh, ep_axis)
         if spec is None:
             lc = (k, v)
         elif compress:
@@ -148,7 +198,7 @@ def forward_prefill(params, cfg: MixtralConfig, tokens, positions, attn_mask,
 
 def forward_decode(params, cfg: MixtralConfig, token, position, caches, *,
                    spec: CacheSpec | None, compress=True, pad_start=None,
-                   prng=None):
+                   prng=None, ep_mesh=None, ep_axis="expert"):
     b = token.shape[0]
     h = params["embed"][token].astype(cfg.dtype)[:, None]
     cos, sin = rope_cos_sin(position[:, None], cfg.head_dim, cfg.rope_theta)
@@ -173,8 +223,7 @@ def forward_decode(params, cfg: MixtralConfig, token, position, caches, *,
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
         h = h + attn @ lp["wo"]
         x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
-        h = h + moe_block(x2, lp["router"], lp["wg"], lp["wu"], lp["wd"],
-                          cfg.experts_per_token)
+        h = h + _moe(x2, lp, cfg, ep_mesh, ep_axis)
         return h, lcache
 
     h, caches = jax.lax.scan(body, h, (params["layers"], caches, layer_keys))

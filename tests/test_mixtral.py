@@ -81,3 +81,51 @@ def test_mixtral_compressed_tracks_uncompressed(tiny):
             compress=compress)
         outs[compress] = np.asarray(logits, np.float32)
     assert np.argmax(outs[True]) == np.argmax(outs[False])
+
+
+def test_expert_parallel_matches_dense_mixture(rng):
+    """moe_block_ep over a 4-device `expert` mesh == the single-device dense
+    mixture, and a full EP decode step matches the non-EP step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from gear_tpu.models import mixtral as MX
+
+    if jax.device_count() < 4:
+        import pytest
+        pytest.skip("needs >= 4 devices")
+    cfg = MX.MixtralConfig.tiny()
+    params = MX.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("expert",))
+
+    x = jnp.asarray(rng.standard_normal(
+        (2, 5, cfg.hidden_size)).astype(np.float32)).astype(cfg.dtype)
+    lp = jax.tree.map(lambda p: p[0], params["layers"])
+    want = MX.moe_block(x, lp["router"], lp["wg"], lp["wu"], lp["wd"],
+                        cfg.experts_per_token)
+    got = MX.moe_block_ep(x, lp["router"], lp["wg"], lp["wu"], lp["wd"],
+                          cfg.experts_per_token, mesh)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-3)
+
+    # full decode step parity (EP vs not), compressed cache
+    from gear_tpu import cache as C
+    spec = cfg.cache_spec(1, 64, __import__(
+        "gear_tpu.config", fromlist=["CompressionConfig"]
+    ).CompressionConfig(num_layers=cfg.num_layers, quantize_bit=8,
+                        group_size=16, rank=2, prefill_rank=2,
+                        loop=2).layer(0))
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    positions = jnp.arange(4)[None]
+    mask = jnp.ones_like(tokens)
+    _, caches = MX.forward_prefill(params, cfg, tokens, positions, mask,
+                                   spec, compress=True)
+    tok = jnp.asarray([5], jnp.int32)
+    pos = jnp.asarray([4], jnp.int32)
+    l0, _ = MX.forward_decode(params, cfg, tok, pos, caches, spec=spec,
+                              compress=True)
+    l1, _ = MX.forward_decode(params, cfg, tok, pos, caches, spec=spec,
+                              compress=True, ep_mesh=mesh)
+    assert int(jnp.argmax(l0[0])) == int(jnp.argmax(l1[0]))
