@@ -93,6 +93,21 @@ def main():
             bench(name,
                   lambda c, x, ck=ck: F.raw_attend_flash(spec, c, x, chunk=ck),
                   rc, q, bf16_bytes)
+        elif name.startswith("paged"):
+            # paged<page_blocks>: the paged-pool Pallas kernel, one sequence
+            from gear_tpu import paged as PG
+            pb = int(name[5:]) if len(name) > 5 else 16
+            pspec = PG.PagedSpec(spec=spec, n_pages=spec.n_blocks // pb,
+                                 page_blocks=pb)
+            pool = PG.init_pool(pspec)
+            seqs = PG.init_seqs(pspec, batch=1)
+            al = PG.PageAllocator(pspec.n_pages)
+            ids = [al.alloc() for _ in range(pspec.max_pages_per_seq)]
+            pool, seqs = PG.prefill_paged(pspec, pool, seqs, 0, ids, k, v)
+            np.asarray(seqs.comp_len)
+            bench(name,
+                  lambda st, x: K.attend_paged(pspec, st[0], st[1], x),
+                  (pool, seqs), q, comp_bytes)
         elif name.startswith("fusedc"):
             cb = int(name[6:])
             cons = K.consolidate_cache(spec, cache)
