@@ -657,260 +657,3 @@ def attend_paged(
     out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]
     return out.reshape(b, hq, qn, d).astype(q.dtype)
 
-
-# ---------------------------------------------------------------------------
-# v7 experiment: consolidated-sideband kernel. All per-token sidebands ride
-# in ONE array (rows: kqt[R], vqt[R], vscale[NGV], vmn[NGV]), all per-block
-# sidebands in another (sections: k_scale, k_mn, kpt[R], vpt[R]), and the K/V
-# codes in one int32 array — 5 tensor inputs instead of 14, so each grid step
-# issues 4 DMAs instead of ~11 (DMA issue overhead is the measured kernel
-# bottleneck; see scripts/gemv_probe2.py results in the commit log).
-# ---------------------------------------------------------------------------
-
-def _decode_kernel_c(
-    lens_ref, pad_start_ref,
-    q_ref,        # [1, GQ, D]           f32 (sm_scale folded in)
-    codes_ref,    # [1, 2*WD, CHUNK]     int32 (K rows then V rows)
-    tok_ref,      # [1, 2R+2NGV, CHUNK]  bf16
-    blk_ref,      # [1, CB, 2+2R, D]     bf16
-    resid_ref,    # [1, 2G, D]           cache dtype (K rows then V rows)
-    out_ref,      # [1, GQ, D] f32
-    acc_ref, m_ref, l_ref,
-    *, bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    hkv: int = 1, rank: int = 4, interpret: bool = False,
-):
-    bh = pl.program_id(0)
-    nc = pl.program_id(1)
-    cb = blocks_per_chunk
-    g = group
-    chunk = cb * g
-    bf = jnp.bfloat16
-    f32 = jnp.float32
-    gq, d = q_ref.shape[1], q_ref.shape[2]
-    r = rank
-    ngv = d // v_group
-    wd = codes_ref.shape[1] // 2
-
-    @pl.when(nc == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, MASK_VAL)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    comp_len = lens_ref[bh // hkv, 0]
-
-    @pl.when(nc * chunk < comp_len)
-    def _chunk():
-        q = q_ref[0].astype(bf)
-        qf32 = q_ref[0]
-        codes = codes_ref[0]
-        tok = tok_ref[0]
-        blk = blk_ref[0]                                    # [CB, 2+2R, D]
-
-        kcodes = _unpack_words_bf16(codes[:wd], bits, interpret=interpret)
-        kscale = blk[:, 0, :].astype(f32)                   # [CB, D]
-        s_parts = []
-        for c in range(cb):
-            qs_c = (qf32 * kscale[c:c + 1, :]).astype(bf)
-            s_parts.append(_dot(qs_c, kcodes[:, c * g:(c + 1) * g],
-                                (((1,), (0,)))))
-        s = jnp.concatenate(s_parts, axis=1)                # [GQ, CHUNK] f32
-        qmn = _dot_f32(qf32, blk[:, 1, :].astype(f32), (((1,), (1,))))
-        qmn_exp = jnp.concatenate(
-            [jnp.broadcast_to(qmn[:, c:c + 1], (gq, g)) for c in range(cb)],
-            axis=1)
-        s = s + qmn_exp
-        for ri in range(r):
-            kpt_r = blk[:, 2 + ri, :]                       # [CB, D] bf16
-            qp_r = _dot(q, kpt_r, (((1,), (1,))))           # [GQ, CB] f32
-            qp_exp = jnp.concatenate(
-                [jnp.broadcast_to(qp_r[:, c:c + 1], (gq, g))
-                 for c in range(cb)], axis=1)
-            s = s + qp_exp * tok[ri:ri + 1, :].astype(f32)  # kqt row ri
-
-        pad0 = pad_start_ref[bh]
-        tokid = nc * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (gq, chunk), 1)
-        s = jnp.where((tokid >= pad0) & (tokid < comp_len), s, MASK_VAL)
-
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new), 0.0)
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        p_bf = p.astype(bf)
-
-        vcodes = _unpack_words_bf16(codes[wd:], bits, interpret=interpret)
-        pv_parts = []
-        for i in range(ngv):
-            vs_i = tok[2 * r + i:2 * r + i + 1, :].astype(f32)
-            ps = (p * vs_i).astype(bf)
-            pv_parts.append(_dot(ps, vcodes[i * v_group:(i + 1) * v_group, :],
-                                 (((1,), (1,)))))
-        pv = (jnp.concatenate(pv_parts, axis=-1) if ngv > 1
-              else pv_parts[0])
-        vmn = tok[2 * r + ngv:2 * r + 2 * ngv, :].astype(f32)
-        pmn = _dot_f32(p, vmn, (((1,), (1,))))              # [GQ, NGV]
-        grow = jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 0)
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 1) // v_group
-        pv = pv + _dot_f32(pmn, (grow == gcol).astype(f32), (((1,), (0,))))
-        for ri in range(r):
-            w_r = p * tok[r + ri:r + ri + 1, :].astype(f32)  # vqt row ri
-            wv_r = jnp.concatenate(
-                [jnp.sum(w_r[:, c * g:(c + 1) * g], axis=1, keepdims=True)
-                 for c in range(cb)], axis=1)
-            pv = pv + _dot(wv_r.astype(bf), blk[:, 2 + r + ri, :],
-                           (((1,), (0,))))
-
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    if "nopred" in ablate:  # profiling aid: unconditional chunk execution
-        _chunk()
-    else:
-        pl.when(nc * chunk < comp_len)(_chunk)
-
-    @pl.when(nc == pl.num_programs(1) - 1)
-    def _finalize():
-        resid_len = lens_ref[bh // hkv, 1]
-        q = q_ref[0].astype(bf)
-        kr = resid_ref[0, :group].astype(bf)
-        sr = _dot(q, kr, (((1,), (1,))))
-        rcol = jax.lax.broadcasted_iota(jnp.int32, (gq, group), 1)
-        sr = jnp.where(rcol < resid_len, sr, MASK_VAL)
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(sr, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        pr = jnp.where(sr > MASK_VAL / 2, jnp.exp(sr - m_new), 0.0)
-        l_tot = l_ref[:, :1] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
-        vr = resid_ref[0, group:].astype(bf)
-        pv_r = _dot(pr.astype(bf), vr, (((1,), (0,))))
-        out_ref[0] = (acc_ref[:] * alpha + pv_r) / l_tot
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("bits", "group", "v_group", "rank", "blocks_per_chunk",
-                     "hkv", "interpret"),
-)
-def decode_attention_c(
-    lens: jax.Array,        # [B, 2]
-    pad_start: jax.Array,   # [BH]
-    q: jax.Array,           # [BH, GQ, D] f32
-    codes: jax.Array,       # [BH, 2*WD, T] int32
-    tok_side: jax.Array,    # [BH, 2R+2NGV, T] bf16
-    blk_side: jax.Array,    # [BH, NB, 2+2R, D] bf16
-    resid: jax.Array,       # [BH, 2G, D]
-    *,
-    bits: int, group: int, v_group: int, rank: int,
-    blocks_per_chunk: int = 16, hkv: int = 1, interpret: bool = False,
-):
-    bh, gq, d = q.shape
-    t = tok_side.shape[2]
-    nb = t // group
-    cb = min(blocks_per_chunk, nb)
-    while nb % cb:
-        cb -= 1
-    if cb % 8 and cb != nb:
-        cb = nb
-    nc = nb // cb
-    chunk = cb * group
-    wd2 = codes.shape[1]
-    st = tok_side.shape[1]
-    sb = blk_side.shape[2]
-
-    kernel = functools.partial(
-        _decode_kernel_c, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, hkv=hkv, rank=rank, interpret=interpret)
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(bh, nc),
-            in_specs=[
-                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, wd2, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, st, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, cb, sb, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, 2 * group, d), lambda i, j, *_: (i, 0, 0)),
-            ],
-            out_specs=[pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0))],
-            scratch_shapes=[
-                pltpu.VMEM((gq, d), jnp.float32),
-                pltpu.VMEM((gq, 128), jnp.float32),
-                pltpu.VMEM((gq, 128), jnp.float32),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((bh, gq, d), jnp.float32)],
-        interpret=interpret,
-    )(lens, pad_start, q, codes, tok_side, blk_side, resid)
-    return out[0]
-
-
-def consolidate_cache(spec, cache):
-    """Build the v7 consolidated views (codes, tok_side, blk_side, resid)
-    from a LayerCache. Flat [BH, ...] leaves, bf16 sidebands."""
-    b = cache.k_codes.shape[0]
-    bhn = b * spec.num_kv_heads
-    flat = lambda x: x.reshape(bhn, *x.shape[2:])
-    from .. import cache as _c
-    bf = jnp.bfloat16
-    kqt = _c.base_kqt(spec, cache).astype(bf) if spec.base_bits == 8 \
-        else cache.kqt.astype(bf)
-    vqt = _c.base_vqt(spec, cache).astype(bf) if spec.base_bits == 8 \
-        else cache.vqt.astype(bf)
-    kpt = _c.base_kpt(spec, cache).astype(bf) if spec.base_bits == 8 \
-        else cache.kpt.astype(bf)
-    vpt = _c.base_vpt(spec, cache).astype(bf) if spec.base_bits == 8 \
-        else cache.vpt.astype(bf)
-    codes = jnp.concatenate([flat(cache.k_codes), flat(cache.v_codes)], 1)
-    tok_side = jnp.concatenate(
-        [flat(kqt), flat(vqt),
-         flat(cache.v_scale).astype(bf), flat(cache.v_mn).astype(bf)], 1)
-    blk_side = jnp.concatenate(
-        [flat(cache.k_scale).astype(bf)[:, :, None],
-         flat(cache.k_mn).astype(bf)[:, :, None],
-         flat(kpt), flat(vpt)], 2)
-    resid = jnp.concatenate(
-        [flat(cache.k_resid), flat(cache.v_resid)], 1)
-    return codes, tok_side, blk_side, resid
-
-
-def attend_fused_c(
-    spec, cache, q, *, sm_scale=None, pad_start=None, blocks_per_chunk=16,
-    interpret=False, consolidated=None,
-):
-    """v7 experiment: attend via the consolidated-sideband kernel.
-
-    ``consolidated`` (from :func:`consolidate_cache`) can be passed in when
-    the caller amortizes the consolidation (e.g. rebuilt only on flush)."""
-    b, hq, qn, d = q.shape
-    hkv = spec.num_kv_heads
-    gq_n = (hq // hkv) * qn
-    if sm_scale is None:
-        sm_scale = d ** -0.5
-    bhn = b * hkv
-    qf = (q.reshape(b, hkv, gq_n, d) * sm_scale).astype(jnp.float32)
-    gq_pad = max(8, ((gq_n + 7) // 8) * 8)
-    if gq_pad != gq_n:
-        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
-    if consolidated is None:
-        consolidated = consolidate_cache(spec, cache)
-    codes, tok_side, blk_side, resid = consolidated
-    pad_bh = (jnp.zeros((bhn,), jnp.int32) if pad_start is None
-              else jnp.repeat(pad_start.astype(jnp.int32), hkv))
-    lens = jnp.broadcast_to(
-        jnp.stack([cache.comp_len.astype(jnp.int32),
-                   cache.resid_len.astype(jnp.int32)])[None, :], (b, 2))
-    out = decode_attention_c(
-        lens, pad_bh, qf.reshape(bhn, gq_pad, d),
-        codes, tok_side, blk_side, resid,
-        bits=spec.bits, group=spec.group, v_group=spec.v_group,
-        rank=spec.r_store, blocks_per_chunk=blocks_per_chunk, hkv=hkv,
-        interpret=interpret)
-    out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]
-    return out.reshape(b, hq, qn, d).astype(q.dtype)

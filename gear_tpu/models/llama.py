@@ -404,6 +404,7 @@ def forward_decode_paged(
     pad_start: jax.Array | None = None,
     prng: jax.Array | None = None,
     attn_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
+    live: jax.Array | None = None,  # bool [B]; parked slots don't append
 ):
     """One decode step over PAGED caches with per-sequence lengths.
 
@@ -442,7 +443,7 @@ def forward_decode_paged(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         lpool, lseqs = paged_mod.append_paged(pspec, lpool, lseqs, k, v,
-                                              key=lkey)
+                                              key=lkey, live=live)
         if attn_impl.startswith("pallas"):
             attn = fused.attend_paged(
                 pspec, lpool, lseqs, q, pad_start=pad_start,

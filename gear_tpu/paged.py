@@ -300,6 +300,7 @@ def append_paged(
     *,
     key: jax.Array | None = None,
     use_lowrank: bool = True,
+    live: jax.Array | None = None,   # bool [B]; False rows are parked
 ) -> tuple[PagePool, PagedSeqs]:
     """Append one decode step's K/V for every sequence (jit-safe).
 
@@ -307,6 +308,13 @@ def append_paged(
     their tail page (the block table must already hold a page id there —
     the host preallocates the next page whenever comp_len crosses into it;
     see ServingEngine).
+
+    ``live`` masks parked serving slots: a parked row's resid_len must not
+    advance (otherwise, ``group`` steps after its request finished, it would
+    flush a garbage block into whatever page its stale/parked block table
+    points at — potentially a physical page now owned by a live request).
+    Rows whose tail block-table entry is negative (unallocated) never flush
+    either, regardless of ``live``.
 
     ``key`` may be a single PRNG key (folded per row by comp_len) or a
     per-row key array [B, 2] — per-row keys let a slot's flush chain match
@@ -318,16 +326,23 @@ def append_paged(
     pb = pspec.page_blocks
     if key is None:
         key = jax.random.PRNGKey(1)
+    if live is None:
+        live = jnp.ones((b,), bool)
 
     i = seqs.resid_len  # [B]
     kr = seqs.k_resid
     vr = seqs.v_resid
     for rowi in range(b):
+        # Parked rows park their write on the (masked-off) slot i instead of
+        # advancing; the value is never visible because resid_len stays put.
         kr = kr.at[rowi, :, i[rowi]].set(
-            k_new[rowi, :, 0].astype(spec.dtype))
+            jnp.where(live[rowi], k_new[rowi, :, 0].astype(spec.dtype),
+                      kr[rowi, :, i[rowi]]))
         vr = vr.at[rowi, :, i[rowi]].set(
-            v_new[rowi, :, 0].astype(spec.dtype))
-    seqs = seqs.replace(k_resid=kr, v_resid=vr, resid_len=i + 1)
+            jnp.where(live[rowi], v_new[rowi, :, 0].astype(spec.dtype),
+                      vr[rowi, :, i[rowi]]))
+    seqs = seqs.replace(k_resid=kr, v_resid=vr,
+                        resid_len=i + live.astype(jnp.int32))
 
     def flush_row(pool, seqs, rowi, subkey):
         kb = seqs.k_resid[rowi:rowi + 1].astype(jnp.float32)
@@ -391,8 +406,9 @@ def append_paged(
     for rowi in range(b):
         row_key = key[rowi] if per_row_keys else key
         subkey = jax.random.fold_in(row_key, seqs.comp_len[rowi])
+        tail_pid = seqs.block_table[rowi, (seqs.comp_len[rowi] // g) // pb]
         pool, seqs = jax.lax.cond(
-            seqs.resid_len[rowi] == g,
+            (seqs.resid_len[rowi] == g) & live[rowi] & (tail_pid >= 0),
             lambda pl_, sq_, rowi=rowi, sk=subkey: flush_row(pl_, sq_, rowi, sk),
             lambda pl_, sq_: (pl_, sq_),
             pool, seqs,

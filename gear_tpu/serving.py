@@ -47,6 +47,8 @@ def _load_sched():
         ("gear_sched_next_admission", ctypes.c_int64, [ctypes.c_void_p]),
         ("gear_sched_admit", ctypes.c_int, [ctypes.c_void_p, ctypes.c_int64]),
         ("gear_sched_step", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int]),
+        ("gear_sched_preempt", ctypes.c_int64,
+         [ctypes.c_void_p, ctypes.c_int, ctypes.c_int64]),
         ("gear_sched_finish", ctypes.c_int64, [ctypes.c_void_p, ctypes.c_int]),
         ("gear_sched_active", ctypes.c_int, [ctypes.c_void_p]),
         ("gear_sched_waiting", ctypes.c_int, [ctypes.c_void_p]),
@@ -95,6 +97,16 @@ class _PySched:
         r[3] += 1
         return r[2] - r[3]
 
+    def preempt(self, slot, new_plen):
+        rid = self.slots[slot]
+        if rid == -1:
+            return -1
+        r = self.active.pop(rid)
+        self.slots[slot] = -1
+        remaining = max(r[2] - r[3], 1)
+        self.waiting.insert(0, [rid, new_plen, remaining, 0])
+        return rid
+
     def finish(self, slot):
         rid = self.slots[slot]
         if rid == -1:
@@ -139,6 +151,13 @@ class Scheduler:
             return self._lib.gear_sched_step(self._h, slot)
         return self._py.step(slot)
 
+    def preempt(self, slot, new_plen):
+        """Free the slot and requeue its request at the FRONT of the waiting
+        queue with its remaining token budget (recompute-style preemption)."""
+        if self._lib:
+            return self._lib.gear_sched_preempt(self._h, slot, new_plen)
+        return self._py.preempt(slot, new_plen)
+
     def finish(self, slot):
         if self._lib:
             return self._lib.gear_sched_finish(self._h, slot)
@@ -156,6 +175,7 @@ class Request:
     max_new: int
     out: list[int] = field(default_factory=list)
     done: bool = False
+    folded: int = 0  # prefix of `out` already folded into `tokens` (preempt)
 
 
 class ServingEngine:
@@ -353,7 +373,7 @@ class PagedServingEngine:
         h, d = self.spec.num_kv_heads, self.spec.head_dim
         self.seqs = paged_mod.PagedSeqs(
             block_table=jnp.full((n_slots, self.pspec.max_pages_per_seq),
-                                 0, jnp.int32),
+                                 -1, jnp.int32),
             comp_len=jnp.zeros((n_slots,), jnp.int32),
             resid_len=jnp.ones((n_slots,), jnp.int32),  # 1 zero-token: no NaN
             k_resid=jnp.zeros((L, n_slots, h, g, d), self.spec.dtype),
@@ -413,11 +433,11 @@ class PagedServingEngine:
             params_c = self.params
 
             @jax.jit
-            def step(pools, seqs, tokens, positions, pad_starts, prng):
+            def step(pools, seqs, tokens, positions, pad_starts, live, prng):
                 logits, pools, seqs = llama.forward_decode_paged(
                     params_c, cfg, tokens, positions, pools, seqs,
                     pspec=pspec, pad_start=pad_starts, prng=prng,
-                    attn_impl=impl)
+                    attn_impl=impl, live=live)
                 return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
                         pools, seqs)
 
@@ -450,7 +470,7 @@ class PagedServingEngine:
         self.pools = pools
 
         maxp = self.pspec.max_pages_per_seq
-        row = np.zeros((maxp,), np.int32)
+        row = np.full((maxp,), -1, np.int32)
         row[:n_pages_used] = page_ids[:n_pages_used]
         self.seqs = self.seqs.replace(
             block_table=self.seqs.block_table.at[slot].set(jnp.asarray(row)),
@@ -496,7 +516,12 @@ class PagedServingEngine:
             self._after_emit(slot, req)
 
     def _prealloc_pages(self):
-        """Ensure the page a slot's NEXT flush writes into is allocated."""
+        """Ensure the page a slot's NEXT flush writes into is allocated.
+
+        On pool exhaustion, apply BACKPRESSURE instead of crashing: preempt
+        a live slot (release its pages, requeue the request with its
+        generated prefix as the new prompt) until the allocation succeeds.
+        """
         g = self.spec.group
         pb = self.pspec.page_blocks
         for slot in range(self.n_slots):
@@ -507,17 +532,51 @@ class PagedServingEngine:
                 if (pidx >= len(self._slot_pages[slot])
                         and pidx < self.pspec.max_pages_per_seq):
                     pid = self.alloc.alloc()
-                    assert pid != -1, "page pool exhausted"
+                    while pid == -1:
+                        victim = self._pick_preempt_victim(exclude=slot)
+                        if victim is None:
+                            # nothing left to evict but this slot itself
+                            self._preempt(slot)
+                            break
+                        self._preempt(victim)
+                        pid = self.alloc.alloc()
+                    if not self.live[slot]:
+                        continue  # self-preempted above
+                    assert pid != -1, "page pool exhausted after preemption"
                     self._slot_pages[slot].append(pid)
                     self.seqs = self.seqs.replace(
                         block_table=self.seqs.block_table
                         .at[slot, pidx].set(pid))
 
+    def _pick_preempt_victim(self, exclude: int) -> int | None:
+        """Pick the live slot holding the most pages (frees the most HBM);
+        ties go to the most recently admitted (highest slot id)."""
+        best, best_pages = None, 0
+        for slot in range(self.n_slots):
+            if slot == exclude or not self.live[slot]:
+                continue
+            if len(self._slot_pages[slot]) >= best_pages:
+                best, best_pages = slot, len(self._slot_pages[slot])
+        return best
+
+    def _preempt(self, slot: int):
+        """Release a slot's pages and requeue its request (generated tokens
+        become part of the prompt so no work is lost — vLLM-style
+        recompute preemption). The scheduler requeues it at the FRONT of
+        the waiting queue with its remaining token budget."""
+        req = self._slot_req[slot]
+        # Continue from everything generated so far; re-admission prefills
+        # the full (possibly bucketed/truncated) context again.
+        req.tokens = req.tokens + req.out[req.folded:]
+        req.folded = len(req.out)
+        self.sched.preempt(slot, len(req.tokens))
+        self._park_slot(slot)
+
     def _decode_once(self):
         step = self._get_decode()
         nxt, self.pools, self.seqs = step(
             self.pools, self.seqs, self.cur_tok, self.positions,
-            self.pad_start, jax.random.PRNGKey(7))
+            self.pad_start, jnp.asarray(self.live), jax.random.PRNGKey(7))
         self.positions = self.positions + 1
         self.cur_tok = nxt
         toks = np.asarray(nxt)
@@ -540,19 +599,26 @@ class PagedServingEngine:
         if remaining <= 0 or hit_eos:
             req.done = True
             self.sched.finish(slot)
-            self._slot_req[slot] = None
-            self.live[slot] = False
-            for pid in self._slot_pages[slot]:
-                self.alloc.release(pid)
-            self._slot_pages[slot] = []
-            # park the slot on a harmless state (1 zero residual token)
-            self.seqs = self.seqs.replace(
-                block_table=self.seqs.block_table.at[slot].set(
-                    jnp.zeros((self.pspec.max_pages_per_seq,), jnp.int32)),
-                comp_len=self.seqs.comp_len.at[slot].set(0),
-                resid_len=self.seqs.resid_len.at[slot].set(1),
-                k_resid=self.seqs.k_resid.at[:, slot].set(0),
-                v_resid=self.seqs.v_resid.at[:, slot].set(0),
-            )
-            self._host_comp[slot] = 0
-            self._host_resid[slot] = 1
+            self._park_slot(slot)
+
+    def _park_slot(self, slot: int):
+        """Free a slot's pages and reset its device state. Parked slots are
+        masked out of append/flush by the decode step's ``live`` mask, and
+        their block table holds -1 (= unallocated; append_paged never
+        flushes to a negative page id)."""
+        self._slot_req[slot] = None
+        self.live[slot] = False
+        for pid in self._slot_pages[slot]:
+            self.alloc.release(pid)
+        self._slot_pages[slot] = []
+        # park the slot on a harmless state (1 zero residual token)
+        self.seqs = self.seqs.replace(
+            block_table=self.seqs.block_table.at[slot].set(
+                jnp.full((self.pspec.max_pages_per_seq,), -1, jnp.int32)),
+            comp_len=self.seqs.comp_len.at[slot].set(0),
+            resid_len=self.seqs.resid_len.at[slot].set(1),
+            k_resid=self.seqs.k_resid.at[:, slot].set(0),
+            v_resid=self.seqs.v_resid.at[:, slot].set(0),
+        )
+        self._host_comp[slot] = 0
+        self._host_resid[slot] = 1

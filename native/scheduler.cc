@@ -89,6 +89,24 @@ int64_t gear_sched_step(void* h, int slot) {
   return r.max_new - r.generated;
 }
 
+// Preempt a running slot: free it and requeue the request at the FRONT of
+// the waiting queue (it was admitted first; FCFS fairness) with its
+// remaining token budget. `new_prompt_len` lets the caller fold already-
+// generated tokens into the prompt (recompute-style preemption).
+int64_t gear_sched_preempt(void* h, int slot, int64_t new_prompt_len) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (slot < 0 || slot >= static_cast<int>(s->slots.size())) return -1;
+  int64_t rid = s->slots[slot];
+  if (rid == -1) return -1;
+  Request r = s->active[rid];
+  s->slots[slot] = -1;
+  s->active.erase(rid);
+  int64_t remaining = r.max_new - r.generated;
+  if (remaining < 1) remaining = 1;
+  s->waiting.push_front({rid, new_prompt_len, remaining});
+  return rid;
+}
+
 int64_t gear_sched_finish(void* h, int slot) {
   auto* s = static_cast<Scheduler*>(h);
   if (slot < 0 || slot >= static_cast<int>(s->slots.size())) return -1;

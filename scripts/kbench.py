@@ -108,15 +108,6 @@ def main():
             bench(name,
                   lambda st, x: K.attend_paged(pspec, st[0], st[1], x),
                   (pool, seqs), q, comp_bytes)
-        elif name.startswith("fusedc"):
-            cb = int(name[6:])
-            cons = K.consolidate_cache(spec, cache)
-            cons = jax.tree.map(lambda x: np.asarray(x), cons)
-            cons = jax.tree.map(jnp.asarray, cons)
-            bench(name,
-                  lambda c, x, cb=cb: K.attend_fused_c(
-                      spec, c, x, blocks_per_chunk=cb, consolidated=cons),
-                  cache, q, comp_bytes)
         elif name.startswith("fused"):
             # fused<cb>[:abl1+abl2]  e.g. fused32:nolr+nov
             spec_s = name[5:]

@@ -60,6 +60,48 @@ def test_paged_serving_matches_dense_serving(tiny):
         assert out_dense[a] == out_paged[b], (out_dense[a], out_paged[b])
 
 
+def test_paged_serving_staggered_finishes_match_dense(tiny):
+    """Regression: a PARKED slot must not keep appending/flushing — with
+    staggered finish times (max_new 48 vs 4) the dead slot used to flush a
+    garbage block into physical page 0 (owned by the live request) ~group
+    steps after finishing, corrupting the survivor's tokens."""
+    cfg, params = tiny
+    comp = mk_comp(cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    max_news = [48, 4]  # slot 1 finishes early, slot 0 keeps generating
+
+    dense = ServingEngine(cfg, params, comp, n_slots=2, max_len=128)
+    r0 = [dense.submit(p, n) for p, n in zip(prompts, max_news)]
+    out_dense = dense.run()
+
+    paged = PagedServingEngine(cfg, params, comp, n_slots=2, max_len=128,
+                               n_pages=16, page_blocks=1)
+    r1 = [paged.submit(p, n) for p, n in zip(prompts, max_news)]
+    out_paged = paged.run()
+
+    for a, b in zip(r0, r1):
+        assert out_dense[a] == out_paged[b], (out_dense[a], out_paged[b])
+
+
+def test_paged_serving_preempts_on_pool_exhaustion(tiny):
+    """Decode-time pool exhaustion must not crash: a victim slot is
+    preempted (pages released, request requeued with its generated prefix)
+    and every request still completes with the right token count."""
+    cfg, params = tiny
+    # group 16, page_blocks 1 -> a page per 16 tokens. 6 pages total.
+    # Two 32-token prompts take 2 pages each (+1 spare rule leaves 1 free);
+    # both slots then generate 40 tokens (> 2 flushes each), forcing a
+    # decode-time page allocation that cannot be satisfied for both.
+    eng = PagedServingEngine(cfg, params, mk_comp(cfg), n_slots=2,
+                             max_len=128, n_pages=6, page_blocks=1)
+    p = list(range(1, 33))
+    rids = [eng.submit(p, 40), eng.submit([x + 50 for x in p], 40)]
+    outs = eng.run()
+    assert set(outs) == set(rids)
+    assert all(len(outs[r]) == 40 for r in rids)
+    assert eng.alloc.free_count() == 6
+
+
 def test_paged_serving_waits_for_free_pages(tiny):
     """When the pool is too small for a new admission, the request waits
     rather than failing, and completes once pages free up."""
