@@ -55,6 +55,15 @@ class LayerCompressionConfig:
     token_preserving: bool = False
     start_saving: float = 0.0
     locality_saving: float = 0.0
+    # H2O eviction budgets (reference carries these knobs in its config —
+    # compress_config.py h2o sizes — but its H2OCache class never existed;
+    # gear_tpu/h2o.py implements it and engine mode="h2o" uses these).
+    important_size: int = 64     # heavy-hitter slots
+    recent_size: int = 192       # recent window (budget = important + recent)
+    # StreamingLLM sink cache sizes (reference ships SinkCache unused,
+    # cache_utils.py:201-363; engine mode="sink" uses these).
+    sink_size: int = 4
+    window_size: int = 252
 
     def rank_for(self, prefill: bool) -> tuple[int, int]:
         if prefill:

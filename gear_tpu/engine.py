@@ -32,7 +32,7 @@ from .models import llama
 @dataclass(frozen=True)
 class EngineConfig:
     max_len: int = 2048
-    mode: str = "fused"            # fused | raw | simulated
+    mode: str = "fused"            # fused | raw | simulated | h2o | sink
     eos_token_id: int | None = None
     pad_token_id: int = 0
     temperature: float = 0.0       # 0 = greedy
@@ -61,6 +61,20 @@ class InferenceEngine:
         if engine_cfg.max_len % lcomp.group_size:
             raise ValueError("max_len must be a multiple of group_size")
         self.spec = model_cfg.cache_spec(batch_size, engine_cfg.max_len, lcomp)
+        if engine_cfg.mode == "h2o":
+            from . import h2o
+            self.hspec = h2o.H2OSpec(
+                batch=batch_size, num_kv_heads=model_cfg.num_kv_heads,
+                head_dim=model_cfg.head_dim,
+                budget=lcomp.important_size + lcomp.recent_size,
+                important=lcomp.important_size, dtype=model_cfg.dtype)
+        elif engine_cfg.mode == "sink":
+            from . import sink
+            self.sspec = sink.SinkSpec(
+                batch=batch_size, num_kv_heads=model_cfg.num_kv_heads,
+                head_dim=model_cfg.head_dim, num_sink=lcomp.sink_size,
+                window=lcomp.window_size, rope_theta=model_cfg.rope_theta,
+                dtype=model_cfg.dtype)
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
         self._decode_seq_fn = None
@@ -127,31 +141,42 @@ class InferenceEngine:
             cfg = self.cfg
             lcomp = self.comp.layer(0)
 
+            hspec = getattr(self, "hspec", None)
+            sspec = getattr(self, "sspec", None)
+
             @jax.jit
             def run(params, tokens, mask, prng):
                 positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+                if mode == "h2o":
+                    if s > hspec.budget:
+                        raise ValueError(
+                            f"h2o mode: prompt bucket {s} exceeds the H2O "
+                            f"budget {hspec.budget}")
+                    return llama.forward_prefill_h2o(
+                        params, cfg, tokens, positions, mask, hspec)
+                if mode == "sink":
+                    if s > sspec.capacity:
+                        raise ValueError(
+                            f"sink mode: prompt bucket {s} exceeds the sink "
+                            f"capacity {sspec.capacity}")
+                    return llama.forward_prefill_sink(
+                        params, cfg, tokens, positions, mask, sspec)
                 if mode == "simulated":
-                    # Compress the whole prompt KV (fake-quant) before caching.
-                    logits, caches = llama.forward_prefill(
-                        params, cfg, tokens, positions, mask, spec,
-                        compress=False, prng=prng)
-                    def comp_layer(lc):
-                        kc, vc = simulated.compress_kv(
-                            lc.k[:, :, :s].astype(jnp.float32),
-                            lc.v[:, :, :s].astype(jnp.float32),
-                            lcomp, prefill=True)
-                        return lc.replace(
-                            k=lc.k.at[:, :, :s].set(kc.astype(lc.k.dtype)),
-                            v=lc.v.at[:, :, :s].set(vc.astype(lc.v.dtype)))
+                    # Reference hook ordering (modeling_llama_new.py:944-1027):
+                    # the prompt KV is fake-quant compressed INSIDE attention,
+                    # pre-softmax — prompt logits and the first generated
+                    # token see the compressed KV, and the compressed values
+                    # are what gets cached.
+                    hook = None
                     if lcomp.compress_method != "NONE" and lcomp.streaming:
-                        caches = jax.vmap(comp_layer)(caches)
-                        # Recompute last-token logits from compressed cache?
-                        # Reference recomputes nothing either: compression
-                        # happens inside attention pre-softmax. Close enough
-                        # for the decode-dominated evals; logits come from the
-                        # uncompressed prefill pass (prefill is exact there too
-                        # for the first hook at q_len>1 before compression).
-                    return logits, caches
+                        def hook(k, v):
+                            kc, vc = simulated.compress_kv(
+                                k.astype(jnp.float32), v.astype(jnp.float32),
+                                lcomp, prefill=True)
+                            return kc.astype(k.dtype), vc.astype(v.dtype)
+                    return llama.forward_prefill(
+                        params, cfg, tokens, positions, mask, spec,
+                        compress=False, prng=prng, kv_hook=hook)
                 compress = mode == "fused"
                 return llama.forward_prefill(
                     params, cfg, tokens, positions, mask, spec,
@@ -168,13 +193,22 @@ class InferenceEngine:
             temp = self.ecfg.temperature
 
             attn_impl = self.ecfg.attn_impl
+            hspec = getattr(self, "hspec", None)
+            sspec = getattr(self, "sspec", None)
 
             @jax.jit
             def step(params, caches, token, position, pad_start, prng):
-                logits, caches = llama.forward_decode(
-                    params, cfg, token, position, caches,
-                    spec=spec, compress=(mode == "fused"),
-                    pad_start=pad_start, prng=prng, attn_impl=attn_impl)
+                if mode == "h2o":
+                    logits, caches = llama.forward_decode_h2o(
+                        params, cfg, token, position, caches, hspec=hspec)
+                elif mode == "sink":
+                    logits, caches = llama.forward_decode_sink(
+                        params, cfg, token, position, caches, sspec=sspec)
+                else:
+                    logits, caches = llama.forward_decode(
+                        params, cfg, token, position, caches,
+                        spec=spec, compress=(mode == "fused"),
+                        pad_start=pad_start, prng=prng, attn_impl=attn_impl)
                 if temp > 0:
                     next_tok = jax.random.categorical(prng, logits / temp, axis=-1)
                 else:

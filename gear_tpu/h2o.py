@@ -101,19 +101,21 @@ def _evict(spec: H2OSpec, c: H2OCache) -> H2OCache:
 
 
 def append(spec: H2OSpec, c: H2OCache, k_new, v_new, position) -> H2OCache:
-    """Append one token's KV [B,H,1,D] at ``position``; evict when full."""
+    """Append one token's KV [B,H,1,D] at ``position`` (scalar or [B]);
+    evict when full."""
     c = jax.lax.cond(
         c.length >= spec.budget, lambda x: _evict(spec, x), lambda x: x, c)
     i = c.length
+    pos = jnp.broadcast_to(
+        jnp.asarray(position, jnp.int32).reshape(-1, 1, 1),
+        (spec.batch, spec.num_kv_heads, 1))
     return H2OCache(
         k=jax.lax.dynamic_update_slice(c.k, k_new.astype(spec.dtype),
                                        (0, 0, i, 0)),
         v=jax.lax.dynamic_update_slice(c.v, v_new.astype(spec.dtype),
                                        (0, 0, i, 0)),
         score=c.score,
-        pos=jax.lax.dynamic_update_slice(
-            c.pos, jnp.full((spec.batch, spec.num_kv_heads, 1), position,
-                            jnp.int32), (0, 0, i)),
+        pos=jax.lax.dynamic_update_slice(c.pos, pos, (0, 0, i)),
         length=i + 1,
     )
 

@@ -240,6 +240,7 @@ def forward_prefill(
     *,
     compress: bool = True,
     prng: jax.Array | None = None,
+    kv_hook=None,
 ) -> tuple[jax.Array, LayerCache | tuple]:
     """Run the prompt, return (logits [B,S,V], stacked caches).
 
@@ -247,6 +248,12 @@ def forward_prefill(
     compressed into a two-tier LayerCache (prefill block at prefill_rank +
     residual tail). With ``compress=False`` an uncompressed RawLayerCache
     stack is built instead (the fp16 baseline).
+
+    ``kv_hook``: optional ``(k, v) -> (k, v)`` applied after RoPE and BEFORE
+    the prompt attention — the reference's simulated compression hook lives
+    inside attention pre-softmax (modeling_llama_new.py:944-1027), so prompt
+    logits (and the first generated token) see the COMPRESSED prompt KV.
+    The hooked values are also what gets cached.
     """
     h = params["embed"][tokens].astype(cfg.dtype)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
@@ -262,6 +269,8 @@ def forward_prefill(
         v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if kv_hook is not None:
+            k, v = kv_hook(k, v)
         attn = causal_attention(q, k, v, attn_mask, cfg.sliding_window)
         b, s = tokens.shape
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
@@ -472,6 +481,175 @@ def forward_decode_paged(
 def logits_from_hidden(params: dict, cfg: ModelConfig, h: jax.Array) -> jax.Array:
     w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     return (h.astype(jnp.float32) @ w.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# H2O (heavy-hitter eviction) forward passes — engine mode "h2o".
+# The reference imports an H2OCache that never existed (survey §2.1 defect);
+# gear_tpu/h2o.py implements it and these wire it into the model.
+# ---------------------------------------------------------------------------
+
+def _prefill_received_attention(q, k, attn_mask, sliding_window=None):
+    """Per-position attention mass received during prefill [B,Hkv,S] —
+    the H2O score initialization (sum of softmax probs over all queries,
+    matching h2o.attend's decode-time accumulation)."""
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    gq = hq // hkv
+    qg = q.reshape(b, hkv, gq, s, d).astype(jnp.float32)
+    scores = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k.astype(jnp.float32))
+    scores = scores * (d ** -0.5)
+    ii = jnp.arange(s)
+    mask = ii[:, None] >= ii[None, :]
+    mask = mask[None, None, None]
+    if attn_mask is not None:
+        mask = mask & attn_mask[:, None, None, None, :].astype(bool)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1)
+    w = jnp.where(jnp.isnan(w), 0.0, w)
+    return w.sum(axis=(2, 3))  # over query heads in group + query positions
+
+
+def forward_prefill_h2o(params, cfg: ModelConfig, tokens, positions,
+                        attn_mask, hspec):
+    """Prompt pass building per-layer H2OCaches (prompt len <= budget;
+    eviction starts at decode). Left padding is supported: pad slots carry
+    pos=-1 which h2o.attend masks and h2o._evict drops first."""
+    from .. import h2o
+
+    h = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    b, s = tokens.shape
+
+    def body(h, lp):
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = causal_attention(q, k, v, attn_mask, cfg.sliding_window)
+        score = _prefill_received_attention(q, k, attn_mask)
+        lc = h2o.init(hspec)
+        pos = jnp.where(attn_mask.astype(bool), positions, -1)  # [B,S]
+        lc = lc.replace(
+            k=lc.k.at[:, :, :s].set(k.astype(hspec.dtype)),
+            v=lc.v.at[:, :, :s].set(v.astype(hspec.dtype)),
+            score=lc.score.at[:, :, :s].set(score),
+            pos=lc.pos.at[:, :, :s].set(
+                jnp.broadcast_to(pos[:, None], (b, hspec.num_kv_heads, s))),
+            length=jnp.int32(s),
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, lc
+
+    h, caches = jax.lax.scan(body, h, params["layers"])
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    return logits_from_hidden(params, cfg, h), caches
+
+
+def forward_decode_h2o(params, cfg: ModelConfig, token, position, caches,
+                       *, hspec):
+    """One decode step over H2O caches: evict-if-full, append, attend
+    (score-accumulating)."""
+    from .. import h2o
+
+    b = token.shape[0]
+    h = params["embed"][token].astype(cfg.dtype)[:, None]
+    cos, sin = rope_cos_sin(position[:, None], cfg.head_dim, cfg.rope_theta)
+
+    def body(h, xs):
+        lp, lcache = xs
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        lcache = h2o.append(hspec, lcache, k, v, position)
+        attn, lcache = h2o.attend(hspec, lcache, q)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, lcache
+
+    h, caches = jax.lax.scan(body, h, (params["layers"], caches))
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    return logits_from_hidden(params, cfg, h)[:, 0], caches
+
+
+# ---------------------------------------------------------------------------
+# StreamingLLM sink-cache forward passes — engine mode "sink".
+# The reference ships SinkCache unused (cache_utils.py:201-363; survey A6).
+# ---------------------------------------------------------------------------
+
+def forward_prefill_sink(params, cfg: ModelConfig, tokens, positions,
+                         attn_mask, sspec):
+    """Prompt pass building per-layer SinkCaches (prompt len <= capacity).
+    Keys are cached UNROTATED (sink.attend rotates at cache-relative
+    positions). No left-padding: sinks are literally the first tokens."""
+    from .. import sink
+
+    h = params["embed"][tokens].astype(cfg.dtype)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    b, s = tokens.shape
+
+    def body(h, lp):
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k_unrot = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k_unrot, cos, sin)
+        attn = causal_attention(q, k, v, attn_mask, cfg.sliding_window)
+        lc = sink.init(sspec)
+        lc = lc.replace(
+            k=lc.k.at[:, :, :s].set(k_unrot.astype(sspec.dtype)),
+            v=lc.v.at[:, :, :s].set(v.astype(sspec.dtype)),
+            length=jnp.int32(s),
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, lc
+
+    h, caches = jax.lax.scan(body, h, params["layers"])
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    return logits_from_hidden(params, cfg, h), caches
+
+
+def forward_decode_sink(params, cfg: ModelConfig, token, position, caches,
+                        *, sspec):
+    """One decode step over sink caches. RoPE happens INSIDE sink.attend at
+    cache-relative positions (StreamingLLM semantics), so q/k stay unrotated
+    here; ``position`` is unused beyond parity with the other decoders."""
+    from .. import sink
+
+    b = token.shape[0]
+    h = params["embed"][token].astype(cfg.dtype)[:, None]
+
+    def body(h, xs):
+        lp, lcache = xs
+        x = rmsnorm(h, lp["attn_norm"], cfg.rms_eps)
+        q = _split_heads(x @ lp["wq"], cfg.num_heads, cfg.head_dim)
+        k = _split_heads(x @ lp["wk"], cfg.num_kv_heads, cfg.head_dim)
+        v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
+        lcache = sink.append(sspec, lcache, k, v)
+        attn = sink.attend(sspec, lcache, q)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+        h = h + attn @ lp["wo"]
+        x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + mlp_block(x2, lp["wg"], lp["wu"], lp["wd"])
+        return h, lcache
+
+    h, caches = jax.lax.scan(body, h, (params["layers"], caches))
+    h = rmsnorm(h, params["final_norm"], cfg.rms_eps)
+    return logits_from_hidden(params, cfg, h)[:, 0], caches
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,142 @@
+"""Accuracy protocol in-sandbox: train a tiny char-Llama on synthetic
+arithmetic, then measure GSM8K-style CoT accuracy compressed vs uncompressed
+(the reference's published result shape: Δacc vs FP16 at a given config —
+evaluation_gsm8k.py:380-452).
+
+Usage:
+  python scripts/acc_run.py train   [--steps N] [--cpu]   # train + save
+  python scripts/acc_run.py eval    [--cpu] [--limit N]   # run the matrix
+  python scripts/acc_run.py all     [--cpu]
+
+Artifacts in runs/tiny_arith/: params.pkl, model.json, test.jsonl,
+accuracy.json (committed as the round's accuracy evidence).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RUN_DIR = Path(__file__).resolve().parents[1] / "runs" / "tiny_arith"
+
+MODEL_KW = dict(vocab_size=96, hidden_size=256, intermediate_size=512,
+                num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32,
+                max_position_embeddings=1024)
+
+
+def _jax_cpu():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def do_train(args):
+    if args.cpu:
+        _jax_cpu()
+    import jax
+    from gear_tpu.eval import synth
+    from gear_tpu.models import llama
+
+    tok = synth.CharTokenizer()
+    kw = dict(MODEL_KW)
+    kw["vocab_size"] = max(kw["vocab_size"], tok.vocab_size)
+    cfg = llama.ModelConfig(**kw)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    train_rows = synth.make_dataset(20000, seed=0)
+    test_rows = synth.make_dataset(400, seed=999)
+    synth.write_jsonl(test_rows, RUN_DIR / "test.jsonl")
+
+    spec = synth.TrainSpec(steps=args.steps)
+    t0 = time.time()
+    params = synth.train(cfg, params, train_rows, tok, spec)
+    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s")
+    synth.save_params(params, RUN_DIR / "params.pkl")
+    (RUN_DIR / "model.json").write_text(json.dumps(kw))
+    print(f"saved to {RUN_DIR}")
+
+
+def _engine_for(comp, cfg, params, batch, max_len=512):
+    from gear_tpu.engine import EngineConfig, InferenceEngine
+    return InferenceEngine(cfg, params, comp,
+                           EngineConfig(max_len=max_len, mode="simulated"),
+                           batch_size=batch)
+
+
+def do_eval(args):
+    if args.cpu:
+        _jax_cpu()
+    from gear_tpu.config import CompressionConfig
+    from gear_tpu.eval import harness, synth
+    from gear_tpu.models import llama
+
+    tok = synth.CharTokenizer()
+    kw = json.loads((RUN_DIR / "model.json").read_text())
+    cfg = llama.ModelConfig(**kw)
+    params = synth.load_params(RUN_DIR / "params.pkl")
+    rows = harness.load_jsonl(RUN_DIR / "test.jsonl")
+
+    # The reference's canonical matrix (run_template_llama2-13b.sh) scaled to
+    # this model: GEAR INT4 & INT2 w/ outliers, GEARL INT4, vs NONE.
+    L = cfg.num_layers
+    base = dict(num_layers=L, group_size=32, rank=2, prefill_rank=4,
+                loop=3, streaming=True, streaming_gap=32)
+    matrix = {
+        "NONE": CompressionConfig(num_layers=L, compress_method="NONE"),
+        "GEAR-int4": CompressionConfig(
+            compress_method="GEAR", quantize_bit=4, left=0.02, **base),
+        "GEARL-int4": CompressionConfig(
+            compress_method="GEARL", quantize_bit=4, **base),
+        "GEAR-int2": CompressionConfig(
+            compress_method="GEAR", quantize_bit=2, left=0.02, **base),
+        "KIVI-int4": CompressionConfig(
+            compress_method="UNIFORM", quantize_bit=4, **base),
+    }
+
+    results = {}
+    for name, comp in matrix.items():
+        eng = _engine_for(comp, cfg, params, batch=args.batch)
+        gen = harness.engine_generate_fn(eng, tok)
+        t0 = time.time()
+        res = harness.run_eval(
+            harness.GSM8K, rows, gen, few_shot_prompt="",
+            batch_size=args.batch, max_new_tokens=48, limit=args.limit)
+        results[name] = res.to_json()
+        print(f"{name}: acc {res.accuracy:.3f} "
+              f"({res.correct}/{res.n}) in {time.time()-t0:.0f}s", flush=True)
+
+    none_acc = results["NONE"]["accuracy"]
+    for name, r in results.items():
+        r["delta_vs_none"] = round(r["accuracy"] - none_acc, 4)
+    out = {
+        "protocol": "GSM8K-style CoT, zero-shot, greedy, last-number match "
+                    "(eval/harness.py); char-Llama trained in-sandbox on "
+                    "synthetic arithmetic (eval/synth.py)",
+        "model": kw,
+        "backend": _backend(),
+        "n": args.limit,
+        "results": results,
+    }
+    path = RUN_DIR / "accuracy.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+
+
+def _backend():
+    import jax
+    return jax.default_backend()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["train", "eval", "all"])
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--limit", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cmd in ("train", "all"):
+        do_train(args)
+    if args.cmd in ("eval", "all"):
+        do_eval(args)

@@ -41,19 +41,17 @@ N = 100
 def bench(name, fn, *args):
     @jax.jit
     def loop(*a):
-        x0 = a[0]
+        # N dependent iterations, varying the activation each time (the
+        # remote runtime memoizes pointer-identical executions).
+        acc = fn(a[0], *a[1:]).astype(jnp.float32)
 
-        def body(i, x):
-            return fn(x, *a[1:]).astype(x0.dtype)[..., : x0.shape[-1]] * 0 + x0 + i * 1e-9 \
-                if False else fn(a[0] + i * jnp.ones((), a[0].dtype), *a[1:])
-        # simple: run N dependent iterations varying the activation
-        acc = fn(x0, *a[1:])
-        def body2(i, carry):
+        def body(i, carry):
             acc, x = carry
             x = x + jnp.ones((), x.dtype)
             out = fn(x, *a[1:])
             return (acc + out.astype(acc.dtype), x)
-        acc, _ = jax.lax.fori_loop(0, N, body2, (acc.astype(jnp.float32), x0))
+
+        acc, _ = jax.lax.fori_loop(0, N, body, (acc, a[0]))
         return acc
     t0 = time.time()
     np.asarray(loop(*args))

@@ -178,3 +178,75 @@ def test_per_layer_config_overrides():
     layers = comp.per_layer()
     assert [l.quantize_bit for l in layers] == [4, 8, 4, 4]
     assert layers[3].compress_method == "NONE"
+
+
+# ---------------------------------------------------------------------------
+# Eviction cache modes (h2o / sink) — engine-integrated end to end.
+# ---------------------------------------------------------------------------
+
+def test_h2o_mode_matches_raw_before_eviction(tiny):
+    """With budget >= prompt + generation, H2O never evicts and must emit
+    exactly the raw engine's greedy tokens."""
+    cfg, params = tiny
+    raw = mk_engine(cfg, params, "raw")
+    h2o = mk_engine(cfg, params, "h2o",
+                    important_size=16, recent_size=112)  # budget 128
+    prompts = [[1, 5, 9, 12], [3, 7]]
+    assert raw.generate(prompts, 12) == h2o.generate(prompts, 12)
+
+
+def test_h2o_mode_generates_past_eviction(tiny):
+    """Budget smaller than prompt+generation: eviction kicks in and decode
+    keeps producing valid tokens (shape + finiteness, not parity)."""
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "h2o",
+                    important_size=8, recent_size=24)  # budget 32
+    outs = eng.generate([[1, 2, 3, 4, 5, 6, 7, 8], [9, 8, 7]], 48)
+    assert all(len(o) == 48 for o in outs)
+    assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
+
+
+def test_sink_mode_matches_raw_before_eviction(tiny):
+    """With capacity >= prompt + generation and no ring wrap, cache-relative
+    positions equal absolute ones, so sink decode logits must track raw
+    decode logits closely (not bit-exactly: sink stores keys UNROTATED in
+    bf16 and rotates at attend time — one extra bf16 rounding vs raw)."""
+    import jax.numpy as jnp
+    from gear_tpu import sink as sink_mod
+
+    cfg, params = tiny
+    raw = mk_engine(cfg, params, "raw")
+    snk = mk_engine(cfg, params, "sink", sink_size=4, window_size=124)
+    tokens = jnp.asarray([[1, 5, 9, 12], [3, 7, 11, 2]], jnp.int32)
+    mask = jnp.ones_like(tokens)
+    positions = jnp.cumsum(mask, axis=1) - 1
+
+    # prefill: identical math (standard causal attention) -> tight match
+    lg_raw, rcaches = llama.forward_prefill(
+        params, cfg, tokens, positions, mask, raw.spec, compress=False)
+    lg_snk, scaches = llama.forward_prefill_sink(
+        params, cfg, tokens, positions, mask, snk.sspec)
+    np.testing.assert_allclose(np.asarray(lg_snk), np.asarray(lg_raw),
+                               rtol=0, atol=1e-5)
+
+    # a few decode steps: logits track within bf16 re-rotation noise
+    cur = jnp.argmax(lg_raw[:, -1], axis=-1).astype(jnp.int32)
+    pad0 = jnp.zeros((2,), jnp.int32)
+    for i in range(4):
+        pos = jnp.full((2,), 4 + i, jnp.int32)
+        l_raw, rcaches = llama.forward_decode(
+            params, cfg, cur, pos, rcaches, spec=raw.spec, compress=False,
+            pad_start=pad0)
+        l_snk, scaches = llama.forward_decode_sink(
+            params, cfg, cur, pos, scaches, sspec=snk.sspec)
+        d = np.abs(np.asarray(l_snk) - np.asarray(l_raw)).max()
+        assert d < 0.05, f"step {i}: sink logits diverged by {d}"
+        cur = jnp.argmax(l_raw, axis=-1).astype(jnp.int32)
+
+
+def test_sink_mode_generates_past_window_wrap(tiny):
+    cfg, params = tiny
+    eng = mk_engine(cfg, params, "sink", sink_size=2, window_size=30)
+    outs = eng.generate([[1, 2, 3, 4] * 4, [5, 6, 7, 8] * 4], 48)
+    assert all(len(o) == 48 for o in outs)
+    assert all(0 <= t < cfg.vocab_size for o in outs for t in o)
