@@ -1,14 +1,23 @@
-"""Headline benchmark: fused compressed-KV decode attention vs fp16 baseline.
+"""Headline benchmark: fused compressed-KV decode vs bf16 baseline (real TPU).
 
-Measures the BASELINE.json north-star component on the real TPU chip: decode
-attention over an INT4 + rank-4 compressed KV cache at 8k context and
-Llama-2-7B attention shapes (32 heads, head_dim 128), against uncompressed
-bf16 attention — the reference's speed protocol is the analogous fused-path
-generate timing (cuda_supported_gear/test.py:25-37,95-102).
+Measures the BASELINE.json north-star components on the real chip:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": tokens/s/chip (attention path, full 32-layer
-   model equivalent), "unit": "tok/s", "vs_baseline": speedup vs bf16}
+  1. Decode attention at 8k context, Llama-2-7B attention shapes (32 heads,
+     head_dim 128), INT2 GEAR **canonical accuracy config** (bit2 / group64 /
+     rank2 / prefill_rank4 / loop3 / 2% outliers — run_template_llama2-13b.sh:4)
+     with int8 low-rank bases and per-token V quant over the full head dim
+     (the simulated reference's V grouping, compress_function.py:7-37).
+     The FULL recipe (quant + low-rank + COO outliers) runs in ONE Pallas
+     kernel pass — the reference's fused CUDA path never implemented its
+     outlier slots (modeling_llamagear.py:458-466).
+  2. The same at INT4 + rank 4 (GEARL, round-1's config) for continuity.
+  3. A REAL 16-layer model decode loop (2048 hidden, MLP + scan + sampling
+     path included) fused vs bf16 — tok/s from an actual forward pass.
+
+Baseline = uncompressed bf16 XLA attention (the reference's speed protocol
+is the analogous fused-path generate timing, test.py:25-37,95-102).
+
+Prints ONE JSON line; "value"/"vs_baseline" refer to metric 1.
 """
 import json
 import signal
@@ -19,16 +28,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+RESULT = {
+    "metric": ("decode attention tok/s/chip (INT2 GEAR canonical: rank2+"
+               "2%outliers+int8 bases, 8k ctx, llama2-7b shapes, 32-layer "
+               "equivalent, pallas fused)"),
+    "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+}
+
 
 def _watchdog(seconds: int = 540):
     """The tunneled TPU runtime can wedge (device ops hang indefinitely);
-    emit a diagnostic JSON line instead of hanging the driver."""
+    emit what we have instead of hanging the driver."""
     def fire(signum, frame):
-        print(json.dumps({
-            "metric": "decode attention tok/s/chip (INT4+rank4 KV, 8k ctx)",
-            "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
-            "error": f"watchdog: TPU unresponsive after {seconds}s",
-        }))
+        RESULT["error"] = f"watchdog: TPU unresponsive after {seconds}s"
+        print(json.dumps(RESULT))
         sys.stdout.flush()
         import os
         os._exit(2)
@@ -36,79 +49,155 @@ def _watchdog(seconds: int = 540):
     signal.alarm(seconds)
 
 
-def main():
-    _watchdog()
+def bench_loop(f, c, q, n):
+    """Time n calls of f(c, q) under one jit fori_loop.
+
+    The remote runtime MEMOIZES pointer-identical executions and
+    block_until_ready can return early — every iteration perturbs the
+    input and the only reliable sync is a device->host fetch.
+    """
+    @jax.jit
+    def loop(cache, q):
+        def body(i, x):
+            return f(cache, x + i * 1e-9).astype(q.dtype)
+        return jax.lax.fori_loop(0, n, body, q)
+    np.asarray(loop(c, q))  # compile + warm
+    best = None
+    for trial in range(3):
+        q2 = q + (trial + 1) * 0.01
+        np.asarray(q2)
+        t0 = time.time()
+        np.asarray(loop(c, q2))
+        dt = (time.time() - t0) / n
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def attention_bench(rng):
     from gear_tpu import cache as C
     from gear_tpu.kernels import decode as K
     from gear_tpu.models import llama as L
 
-    CTX = 8192
-    HEADS = 32          # llama-2-7b: MHA
-    HEAD_DIM = 128
-    LAYERS = 32
-    N = 300
-
-    rng = np.random.default_rng(0)
-    spec = C.CacheSpec(batch=1, num_kv_heads=HEADS, head_dim=HEAD_DIM,
-                       max_len=CTX, bits=4, group=64, rank=4, prefill_rank=4,
-                       lowrank_loop=3, dtype=jnp.bfloat16,
-                       sideband_dtype=jnp.bfloat16)
+    CTX, HEADS, HEAD_DIM, LAYERS, N = 8192, 32, 128, 32, 300
     shape = (1, HEADS, CTX, HEAD_DIM)
     k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-    cache = C.prefill(spec, k, v)
-    jax.block_until_ready(cache)
-    rc = L.raw_prefill(spec, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
     q = jnp.asarray(
         rng.standard_normal((1, HEADS, 1, HEAD_DIM)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
-    def bench(f, c, q):
+    base = dict(batch=1, num_kv_heads=HEADS, head_dim=HEAD_DIM, max_len=CTX,
+                group=64, lowrank_loop=3, dtype=jnp.bfloat16,
+                sideband_dtype=jnp.bfloat16)
+    spec_i2 = C.CacheSpec(bits=2, rank=2, prefill_rank=4, base_bits=8,
+                          outliers_per_block=164, v_group_size=128, **base)
+    spec_i4 = C.CacheSpec(bits=4, rank=4, prefill_rank=4, **base)
+
+    # bf16 baseline (uncompressed XLA attention)
+    rc = L.raw_prefill(spec_i4, k.astype(jnp.bfloat16),
+                       v.astype(jnp.bfloat16))
+    np.asarray(rc.k[0, 0, 0, :1])
+    dt_bf16 = bench_loop(lambda c, x: L.raw_attend(spec_i4, c, x), rc, q, N)
+
+    out = {"us_per_step_bf16": round(dt_bf16 * 1e6, 1)}
+    for name, spec in (("int2_gear", spec_i2), ("int4_gearl", spec_i4)):
+        cache = C.prefill(spec, k, v)
+        np.asarray(cache.comp_len)
+        dt = bench_loop(
+            lambda c, x, s=spec: K.attend_fused(s, c, x,
+                                                blocks_per_chunk=16),
+            cache, q, N)
+        got = np.asarray(K.attend_fused(spec, cache, q,
+                                        blocks_per_chunk=16), np.float32)
+        want = np.asarray(C.attend(spec, cache, q), np.float32)
+        rel = float(np.abs(got - want).mean() / np.abs(want).mean())
+        assert np.isfinite(got).all() and rel < 0.05, f"{name} mismatch {rel}"
+        out[f"us_per_step_{name}"] = round(dt * 1e6, 1)
+        out[f"kernel_rel_err_{name}"] = round(rel, 4)
+        out[f"kv_compression_{name}"] = round(
+            spec.bytes_fp16_baseline() / spec.bytes_compressed(), 2)
+        out[f"tok_s_{name}"] = round(1.0 / (dt * LAYERS), 1)
+        out[f"vs_baseline_{name}"] = round(dt_bf16 / dt, 3)
+    return out
+
+
+def model_bench(rng):
+    """Real forward-pass decode: 16 layers, MLP + scan + logits included,
+    one residual-tier flush sampled inside the timed window."""
+    from gear_tpu import cache as C
+    from gear_tpu.models import llama as L
+
+    cfg = L.ModelConfig(vocab_size=32000, hidden_size=2048,
+                        intermediate_size=5632, num_layers=16,
+                        num_heads=16, num_kv_heads=16, head_dim=128,
+                        max_position_embeddings=8192)
+    CTX, PRE, N = 8192, 8100, 50
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    spec = C.CacheSpec(batch=1, num_kv_heads=16, head_dim=128, max_len=CTX,
+                       bits=2, group=64, rank=2, prefill_rank=4,
+                       lowrank_loop=3, base_bits=8, outliers_per_block=164,
+                       v_group_size=128, dtype=jnp.bfloat16,
+                       sideband_dtype=jnp.bfloat16)
+    kv_shape = (1, 16, PRE, 128)
+    k = jnp.asarray(rng.standard_normal(kv_shape).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal(kv_shape).astype(np.float32) * 0.3)
+
+    def run(compress, attn_impl):
+        if compress:
+            one = C.prefill(spec, k, v)
+        else:
+            one = L.raw_prefill(spec, k.astype(jnp.bfloat16),
+                                v.astype(jnp.bfloat16))
+        caches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None],
+                                       (cfg.num_layers,) + x.shape), one)
+
         @jax.jit
-        def loop(cache, q):
-            def body(i, x):
-                return f(cache, x + i * 1e-9).astype(q.dtype)
-            return jax.lax.fori_loop(0, N, body, q)
-        # NOTE: on the tunneled runtime block_until_ready does not actually
-        # wait; a device->host fetch is the only reliable sync.
-        np.asarray(loop(c, q))  # compile + warm
+        def steps(params, caches, tok0):
+            def body(carry, i):
+                tok, caches = carry
+                logits, caches = L.forward_decode(
+                    params, cfg, tok, jnp.full((1,), PRE, jnp.int32) + i,
+                    caches, spec=spec, compress=compress,
+                    attn_impl=attn_impl)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), caches), 0
+            (tok, caches), _ = jax.lax.scan(
+                body, (tok0, caches), jnp.arange(N, dtype=jnp.int32))
+            return tok
+        tok0 = jnp.zeros((1,), jnp.int32)
+        np.asarray(steps(params, caches, tok0))  # compile + warm
         best = None
-        for trial in range(3):
-            q2 = q + (trial + 1) * 0.01
-            np.asarray(q2)
+        for trial in range(2):
+            t1 = jnp.full((1,), trial + 3, jnp.int32)
+            np.asarray(t1)
             t0 = time.time()
-            np.asarray(loop(c, q2))
+            np.asarray(steps(params, caches, t1))
             dt = (time.time() - t0) / N
             best = dt if best is None else min(best, dt)
         return best
 
-    dt_fused = bench(
-        lambda c, x: K.attend_fused(spec, c, x, blocks_per_chunk=16), cache, q)
-    dt_bf16 = bench(lambda c, x: L.raw_attend(spec, c, x), rc, q)
+    dt_fused = run(True, "pallas")
+    dt_raw = run(False, "xla")
+    return {
+        "model_tok_s_fused": round(1.0 / dt_fused, 1),
+        "model_tok_s_bf16": round(1.0 / dt_raw, 1),
+        "model_vs_baseline": round(dt_raw / dt_fused, 3),
+        "model_config": "16L x 2048h, 8k ctx, INT2 GEAR canonical, B=1",
+    }
 
-    # Sanity: fused output tracks the XLA reference on this cache.
-    got = np.asarray(
-        K.attend_fused(spec, cache, q, blocks_per_chunk=16), np.float32)
-    want = np.asarray(C.attend(spec, cache, q), np.float32)
-    rel = float(np.abs(got - want).mean() / np.abs(want).mean())
-    assert np.isfinite(got).all() and rel < 0.05, f"kernel mismatch: {rel}"
 
-    # Attention-path decode tokens/s for a 32-layer model equivalent.
-    tok_s = 1.0 / (dt_fused * LAYERS)
-    print(json.dumps({
-        "metric": ("decode attention tok/s/chip (INT4+rank4 KV, 8k ctx, "
-                   "llama2-7b shapes, 32-layer equivalent, pallas fused)"),
-        "value": round(tok_s, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(dt_bf16 / dt_fused, 3),
-        "us_per_step_fused": round(dt_fused * 1e6, 1),
-        "us_per_step_bf16": round(dt_bf16 * 1e6, 1),
-        "kv_mb_compressed": round(spec.bytes_compressed() / 1e6, 1),
-        "kv_mb_bf16": round(spec.bytes_fp16_baseline() / 1e6, 1),
-        "kv_compression": round(
-            spec.bytes_fp16_baseline() / spec.bytes_compressed(), 2),
-        "kernel_rel_err": round(rel, 4),
-    }))
+def main():
+    _watchdog()
+    rng = np.random.default_rng(0)
+    att = attention_bench(rng)
+    RESULT.update(att)
+    RESULT["value"] = att["tok_s_int2_gear"]
+    RESULT["vs_baseline"] = att["vs_baseline_int2_gear"]
+    try:
+        RESULT.update(model_bench(rng))
+    except Exception as e:  # model-level is additive; never lose the line
+        RESULT["model_error"] = repr(e)[:200]
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":

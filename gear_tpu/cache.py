@@ -32,6 +32,7 @@ low-rank correction + residual) with one online softmax across both tiers.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -67,12 +68,23 @@ class CacheSpec:
                           # as fixed-size COO (flat idx + exact value);
                           # restored by scatter before the low-rank error
                           # is computed (reference order). 0 = GEARL.
+    v_group_size: int = 0
+                          # V quantization group along the head dim;
+                          # 0 = min(group, head_dim). The reference's
+                          # simulated GEAR quantizes V per token over the
+                          # FULL hidden dim (fake_groupwise_token_...,
+                          # compress_function.py:7-37, group = h*d), so
+                          # v_group_size=head_dim is the accuracy-faithful
+                          # setting; the fused KIVI path groups by
+                          # group_size (new_pack.py:27-48).
     dtype: jnp.dtype = jnp.bfloat16
     sideband_dtype: jnp.dtype = jnp.bfloat16
 
     def __post_init__(self):
         if self.max_len % self.group != 0:
             raise ValueError("max_len must be a multiple of group")
+        if self.v_group_size and self.head_dim % self.v_group_size:
+            raise ValueError("head_dim must be a multiple of v_group_size")
         if 32 % self.bits != 0:
             raise ValueError("bits must divide 32")
         if self.group % (32 // self.bits) != 0:
@@ -83,6 +95,10 @@ class CacheSpec:
             raise ValueError("outliers_per_block must be even and >= 0")
         if self.outliers_per_block > self.group * self.head_dim // 2:
             raise ValueError("outliers_per_block too large")
+        if self.outliers_per_block and self.group * self.head_dim > 65536:
+            raise ValueError(
+                "outlier indices are 16-bit (packed 2/int32): "
+                "group * head_dim must be <= 65536")
 
     @property
     def fpi(self) -> int:
@@ -94,7 +110,7 @@ class CacheSpec:
 
     @property
     def v_group(self) -> int:
-        return min(self.group, self.head_dim)
+        return self.v_group_size or min(self.group, self.head_dim)
 
     @property
     def v_groups_per_token(self) -> int:
@@ -102,7 +118,10 @@ class CacheSpec:
 
     @property
     def r_store(self) -> int:
-        return max(self.rank, self.prefill_rank)
+        # at least one (zero) column: zero-size base leaves would need
+        # zero-size Pallas blocks, which neither Mosaic nor the interpreter
+        # accept (rank 0 = UNIFORM/KIVI configs).
+        return max(self.rank, self.prefill_rank, 1)
 
     @property
     def k_words(self) -> int:
@@ -133,8 +152,9 @@ class CacheSpec:
         if self.base_bits == 8:  # per-(block, rank) f32 scales
             total += 4 * b * h * self.n_blocks * self.r_store * 4
         ko = self.outliers_per_block
-        if ko:  # COO outliers: int32 idx + exact value, per tensor
-            total += 2 * b * h * self.n_blocks * ko * (4 + 2)
+        if ko:  # COO outliers: packed 16-bit idx + 16-bit delta, per tensor
+            total += 2 * b * h * self.n_blocks * ko * (
+                2 + jnp.dtype(self.dtype).itemsize)
         return total
 
     def bytes_fp16_baseline(self) -> int:
@@ -170,21 +190,33 @@ class LayerCache:
     kqt: jax.Array       # [B, H, r_store, max_len]
     vpt: jax.Array       # [B, H, n_blocks, r_store, head_dim]
     vqt: jax.Array       # [B, H, r_store, max_len]
-    # Fixed-size COO outliers per quant block (flat idx = t_loc * D + d for
-    # K, d-major within the block for V too; empty when outliers_per_block
-    # == 0). Values are the EXACT original entries.
-    k_out_idx: jax.Array  # int32 [B, H, n_blocks, KO]
-    k_out_val: jax.Array  # [B, H, n_blocks, KO]
-    v_out_idx: jax.Array  # int32 [B, H, n_blocks, KO]
-    v_out_val: jax.Array  # [B, H, n_blocks, KO]
+    # Fixed-size COO outliers per quant block (flat idx = t_loc * D + d,
+    # d-major within the block, for BOTH K and V; empty when
+    # outliers_per_block == 0). Values are DELTAS (exact original entry
+    # minus its dequantized value), so restore is a scatter-ADD and the
+    # Pallas kernel folds them as one-hot-dot corrections without touching
+    # the packed codes. Stored block-major ([NB, KO], entries in lanes):
+    # the kernel slices the chunk's blocks on SUBLANES (lane slices would
+    # need 128-aligned starts) and builds its one-hot tiles entry-in-lanes.
+    # Indices are 16-bit, packed TWO per int32 word (word j = idx[j] |
+    # idx[j + KO/2] << 16) — 4 bytes per outlier entry total. Duplicate
+    # indices within a block carry delta 0 (add-safe).
+    k_out_idx: jax.Array  # int32 [B, H, n_blocks, KO // 2]  (packed pairs)
+    k_out_val: jax.Array  # [B, H, n_blocks, KO]  (delta values)
+    v_out_idx: jax.Array  # int32 [B, H, n_blocks, KO // 2]
+    v_out_val: jax.Array  # [B, H, n_blocks, KO]  (delta values)
     # int8-base scales (all-ones when base_bits == 16).
     kpt_scale: jax.Array  # [B, H, n_blocks, r_store]
     kqt_scale: jax.Array  # [B, H, r_store, n_blocks]
     vpt_scale: jax.Array  # [B, H, n_blocks, r_store]
     vqt_scale: jax.Array  # [B, H, r_store, n_blocks]
     # Lengths (tokens). comp_len is always a multiple of group.
+    # prefill_len marks the prefix compressed at prefill time: those blocks
+    # all share ONE low-rank P (replicated below), which the Pallas kernel
+    # exploits with a precomputed q.P0 instead of per-block machinery.
     comp_len: jax.Array  # int32 scalar
     resid_len: jax.Array  # int32 scalar
+    prefill_len: jax.Array  # int32 scalar
 
     @property
     def total_len(self) -> jax.Array:
@@ -208,12 +240,12 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
         kqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
         vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), base_dt),
         vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
-        k_out_idx=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
-                            jnp.int32),
+        k_out_idx=jnp.zeros((b, h, spec.n_blocks,
+                             spec.outliers_per_block // 2), jnp.int32),
         k_out_val=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
                             spec.dtype),
-        v_out_idx=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
-                            jnp.int32),
+        v_out_idx=jnp.zeros((b, h, spec.n_blocks,
+                             spec.outliers_per_block // 2), jnp.int32),
         v_out_val=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
                             spec.dtype),
         kpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
@@ -222,6 +254,7 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
         vqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
         comp_len=jnp.zeros((), jnp.int32),
         resid_len=jnp.zeros((), jnp.int32),
+        prefill_len=jnp.zeros((), jnp.int32),
     )
 
 
@@ -252,6 +285,11 @@ def _extract_outliers(spec: CacheSpec, x: jax.Array):
     idx = jnp.concatenate([top_i, bot_i], axis=-1)          # [B,H,NBs,KO]
     val = jnp.concatenate([top_v, -bot_nv], axis=-1)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
+    # Duplicate indices (possible only under heavy value ties) get their
+    # non-first occurrences masked out so the delta restore (scatter-ADD)
+    # never double-counts a position.
+    dup = jnp.tril(idx[..., :, None] == idx[..., None, :], k=-1)  # [.,KO,KO]
+    is_dup = jnp.any(dup, axis=-1)                                # [.,KO]
     # single flat 1-D scatter (a vmapped per-row scatter inside the flush
     # cond triggers an XLA:CPU compiler crash in later compilations)
     nrows = b * h * nbs
@@ -260,8 +298,22 @@ def _extract_outliers(spec: CacheSpec, x: jax.Array):
             + (jnp.arange(nrows, dtype=jnp.int32) * (g * d))[:, None])
     flat_m = jnp.broadcast_to(mean, idx.shape).reshape(nrows * ko)
     cleaned = flat_x.at[gidx.reshape(-1)].set(flat_m)
-    return (cleaned.reshape(b, h, s_len, d), idx,
-            val.astype(spec.dtype))
+    return (cleaned.reshape(b, h, s_len, d), idx, val, is_dup)
+
+
+def _pack_oidx(idx: jax.Array) -> jax.Array:
+    """[..., KO] int32 indices -> [..., KO//2] with 16-bit pairs packed per
+    int32 word (word j = idx[j] | idx[j + KO/2] << 16)."""
+    ko = idx.shape[-1]
+    lo, hi = idx[..., :ko // 2], idx[..., ko // 2:]
+    return lo | (hi << 16)
+
+
+def _unpack_oidx(packed: jax.Array) -> jax.Array:
+    """Inverse of _pack_oidx: [..., KO//2] -> [..., KO] (original order)."""
+    lo = packed & 0xFFFF
+    hi = jax.lax.shift_right_logical(packed, 16) & 0xFFFF
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def _restore_outliers(spec: CacheSpec, x: jax.Array, idx: jax.Array,
@@ -270,7 +322,10 @@ def _restore_outliers(spec: CacheSpec, x: jax.Array, idx: jax.Array,
 
     Runs BEFORE the low-rank error is computed, matching the reference
     order (quantize-with-outliers -> restore -> error -> power iteration).
+    ``val`` holds DELTAS (exact - dequantized), so this is a scatter-ADD.
+    ``idx`` arrives packed ([B,H,NBs,KO//2]); ``val`` is [B,H,NBs,KO].
     """
+    idx = _unpack_oidx(idx)
     b, h, s_len, d = x.shape
     g = spec.group
     nbs = s_len // g
@@ -280,7 +335,7 @@ def _restore_outliers(spec: CacheSpec, x: jax.Array, idx: jax.Array,
     gidx = (idx.reshape(nrows, ko)
             + (jnp.arange(nrows, dtype=jnp.int32) * (g * d))[:, None])
     flat_v = val.astype(jnp.float32).reshape(nrows * ko)
-    out = flat_x.at[gidx.reshape(-1)].set(flat_v)
+    out = flat_x.at[gidx.reshape(-1)].add(flat_v)
     return out.reshape(b, h, s_len, d)
 
 
@@ -296,10 +351,11 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
     g = spec.group
     nbs = s_len // g
     if spec.outliers_per_block:
-        k, o_idx, o_val = _extract_outliers(spec, k)
+        k, o_idx, o_exact, o_dup = _extract_outliers(spec, k)
     else:
         ko = spec.outliers_per_block
         o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
+        o_exact = None
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
     levels = (1 << spec.bits) - 1
     kg = k.astype(jnp.float32).reshape(b, h, nbs, g, d)
@@ -310,10 +366,20 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
     codes = jnp.clip(
         jnp.round((kg - mn[:, :, :, None]) / safe[:, :, :, None]), 0, levels
     ).astype(jnp.int32).reshape(b, h, s_len, d)
+    if spec.outliers_per_block:
+        # deltas vs the STORED (sideband-cast) scales, so the scatter-add
+        # restore reproduces the exact value up to one fp rounding.
+        sc = scale.astype(spec.sideband_dtype).astype(jnp.float32)
+        mc = mn.astype(spec.sideband_dtype).astype(jnp.float32)
+        deq = (codes.astype(jnp.float32).reshape(b, h, nbs, g, d)
+               * sc[:, :, :, None] + mc[:, :, :, None])
+        at = jnp.take_along_axis(deq.reshape(b, h, nbs, g * d), o_idx,
+                                 axis=-1)
+        o_val = jnp.where(o_dup, 0.0, o_exact - at).astype(spec.dtype)
     packed = quant.pack_codes_bytestrided(codes, spec.bits)  # [B,H,S,WD]
     packed = jnp.swapaxes(packed, -1, -2)                # [B,H,WD,S]
     return (packed, scale.astype(spec.sideband_dtype),
-            mn.astype(spec.sideband_dtype), o_idx, o_val)
+            mn.astype(spec.sideband_dtype), _pack_oidx(o_idx), o_val)
 
 
 def _compress_v_block(spec: CacheSpec, v: jax.Array):
@@ -325,16 +391,125 @@ def _compress_v_block(spec: CacheSpec, v: jax.Array):
     b, h, s_len, d = v.shape
     nbs = s_len // spec.group
     if spec.outliers_per_block:
-        v, o_idx, o_val = _extract_outliers(spec, v)
+        v, o_idx, o_exact, o_dup = _extract_outliers(spec, v)
     else:
         ko = spec.outliers_per_block
         o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
     codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
+    if spec.outliers_per_block:
+        deq = quant.dequantize_groups(
+            codes,
+            scale.astype(spec.sideband_dtype).astype(jnp.float32),
+            mn.astype(spec.sideband_dtype).astype(jnp.float32),
+            spec.v_group)
+        at = jnp.take_along_axis(deq.reshape(b, h, nbs, spec.group * d),
+                                 o_idx, axis=-1)
+        o_val = jnp.where(o_dup, 0.0, o_exact - at).astype(spec.dtype)
     packed = jnp.swapaxes(quant.pack_codes_bytestrided(codes, spec.bits), -1, -2)
     return (packed, jnp.swapaxes(scale, -1, -2).astype(spec.sideband_dtype),
             jnp.swapaxes(mn, -1, -2).astype(spec.sideband_dtype),
-            o_idx, o_val)
+            _pack_oidx(o_idx), o_val)
+
+
+def _compress_k_block_pk(spec: CacheSpec, k: jax.Array, interpret=False):
+    """_compress_k_block via the fused Pallas pack kernel (kernels/pack.py):
+    one read of the fp block emits packed words + sidebands without
+    materializing the int32 code tensor in HBM (the XLA path's [B,H,S,D]
+    intermediate). Outlier deltas are recomputed at their positions from
+    the gathered sidebands (bit-identical quant formula). Used by
+    :func:`prefill` on TPU; the per-flush block stays on the XLA path
+    (reference Triton analog: new_pack.py:132-177 was production for
+    prefill-scale blocks)."""
+    from .kernels import pack as packk
+
+    b, h, s_len, d = k.shape
+    g = spec.group
+    nbs = s_len // g
+    if spec.outliers_per_block:
+        k, o_idx, o_exact, o_dup = _extract_outliers(spec, k)
+    else:
+        ko = spec.outliers_per_block
+        o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
+        o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
+
+    xf = k.astype(jnp.float32).reshape(b * h, s_len, d)
+    fn = functools.partial(
+        packk.quant_pack_channels, bits=spec.bits, group=g,
+        sideband_dtype=jnp.float32, interpret=interpret)
+    codes3, scale3, mn3 = jax.vmap(fn)(xf)
+    packed = jnp.swapaxes(
+        codes3.reshape(b, h, s_len, spec.v_words), -1, -2)   # [B,H,WD,S]
+    scale_f = scale3.reshape(b, h, nbs, d)    # f32 (what the codes used)
+    mn_f = mn3.reshape(b, h, nbs, d)
+    scale = scale_f.astype(spec.sideband_dtype)
+    mn = mn_f.astype(spec.sideband_dtype)
+
+    if spec.outliers_per_block:
+        d_pos = o_idx % d
+        gat = lambda a: jnp.take_along_axis(a.astype(jnp.float32), d_pos,
+                                            axis=-1)
+        xg = jnp.take_along_axis(
+            k.astype(jnp.float32).reshape(b, h, nbs, g * d), o_idx, axis=-1)
+        deq = _deq_at(spec, xg, gat(scale_f), gat(mn_f), gat(scale), gat(mn))
+        o_val = jnp.where(o_dup, 0.0, o_exact - deq).astype(spec.dtype)
+    return (packed, scale, mn,
+            _pack_oidx(o_idx), o_val)
+
+
+def _compress_v_block_pk(spec: CacheSpec, v: jax.Array, interpret=False):
+    """_compress_v_block via the fused Pallas pack kernel (see above)."""
+    from .kernels import pack as packk
+
+    b, h, s_len, d = v.shape
+    g = spec.group
+    nbs = s_len // g
+    ngv = spec.v_groups_per_token
+    if spec.outliers_per_block:
+        v, o_idx, o_exact, o_dup = _extract_outliers(spec, v)
+    else:
+        ko = spec.outliers_per_block
+        o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
+        o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
+
+    xf = v.astype(jnp.float32).reshape(b * h, s_len, d)
+    fn = functools.partial(
+        packk.quant_pack_tokens, bits=spec.bits, v_group=spec.v_group,
+        sideband_dtype=jnp.float32, interpret=interpret)
+    codes3, scale3, mn3 = jax.vmap(fn)(xf)
+    packed = jnp.swapaxes(
+        codes3.reshape(b, h, s_len, spec.v_words), -1, -2)
+    scale_f = scale3.reshape(b, h, s_len, ngv)               # token-major f32
+    mn_f = mn3.reshape(b, h, s_len, ngv)
+    scale_t = scale_f.astype(spec.sideband_dtype)
+    mn_t = mn_f.astype(spec.sideband_dtype)
+
+    if spec.outliers_per_block:
+        t_loc = o_idx // d
+        dgrp = (o_idx % d) // spec.v_group
+        gidx = t_loc * ngv + dgrp
+        gat = lambda a: jnp.take_along_axis(
+            a.astype(jnp.float32).reshape(b, h, nbs, g * ngv), gidx, axis=-1)
+        xg = jnp.take_along_axis(
+            v.astype(jnp.float32).reshape(b, h, nbs, g * d), o_idx, axis=-1)
+        deq = _deq_at(spec, xg, gat(scale_f), gat(mn_f),
+                      gat(scale_t), gat(mn_t))
+        o_val = jnp.where(o_dup, 0.0, o_exact - deq).astype(spec.dtype)
+    return (packed,
+            jnp.swapaxes(scale_t, -1, -2),
+            jnp.swapaxes(mn_t, -1, -2),
+            _pack_oidx(o_idx), o_val)
+
+
+def _deq_at(spec: CacheSpec, x, scale_q, mn_q, scale_s, mn_s):
+    """Quantize-dequantize scalar positions: the code is derived with the
+    f32 quantization sidebands (``*_q``, what the packed codes used); the
+    dequantized value uses the STORED (sideband-cast) ones (``*_s``) —
+    exactly the XLA compress path's recipe."""
+    levels = (1 << spec.bits) - 1
+    safe = jnp.where(scale_q == 0.0, 1.0, scale_q)
+    code = jnp.clip(jnp.round((x - mn_q) / safe), 0, levels)
+    return code * scale_s + mn_s
 
 
 def _dequant_k_block(spec: CacheSpec, packed, scale, mn,
@@ -401,12 +576,17 @@ def prefill(
     *,
     key: jax.Array | None = None,
     use_lowrank: bool = True,
+    pack_kernel: bool | None = None,
 ) -> LayerCache:
     """Build a LayerCache from prefill K/V [B,H,S,D] (S <= max_len, static).
 
     The first ``(S // group) * group`` tokens are compressed as one prefill
     block at ``prefill_rank``; the remainder seeds the residual tier
     (reference: modeling_llamagear.py:386-434).
+
+    ``pack_kernel``: route the block quantize+pack through the fused Pallas
+    pack kernel (kernels/pack.py) — default on for the TPU backend; the XLA
+    path otherwise (bit-identical formulas).
     """
     b, h, s, d = k.shape
     g = spec.group
@@ -414,11 +594,15 @@ def prefill(
     cache = init_layer_cache(spec)
     if key is None:
         key = jax.random.PRNGKey(0)
+    if pack_kernel is None:
+        pack_kernel = jax.default_backend() == "tpu"
 
     if n_full:
         kb, vb = k[:, :, :n_full], v[:, :, :n_full]
-        k_pack, k_scale, k_mn, ko_i, ko_v = _compress_k_block(spec, kb)
-        v_pack, v_scale, v_mn, vo_i, vo_v = _compress_v_block(spec, vb)
+        c_k = _compress_k_block_pk if pack_kernel else _compress_k_block
+        c_v = _compress_v_block_pk if pack_kernel else _compress_v_block
+        k_pack, k_scale, k_mn, ko_i, ko_v = c_k(spec, kb)
+        v_pack, v_scale, v_mn, vo_i, vo_v = c_v(spec, vb)
         nbs = n_full // g
         cache = cache.replace(
             k_codes=cache.k_codes.at[:, :, :, :n_full].set(k_pack),
@@ -428,6 +612,7 @@ def prefill(
             v_scale=cache.v_scale.at[:, :, :, :n_full].set(v_scale),
             v_mn=cache.v_mn.at[:, :, :, :n_full].set(v_mn),
             comp_len=jnp.int32(n_full),
+            prefill_len=jnp.int32(n_full),
         )
         if spec.outliers_per_block:  # avoid zero-size array updates
             cache = cache.replace(

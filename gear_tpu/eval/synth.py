@@ -86,10 +86,13 @@ def make_problem(rng: random.Random) -> dict:
     t, cot_fn = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
     name = _NAMES[rng.randrange(len(_NAMES))]
     item = _ITEMS[rng.randrange(len(_ITEMS))]
+    # Small operand ranges: the in-sandbox model is a 4-layer char LM; the
+    # protocol needs a high uncompressed baseline accuracy so compression
+    # deltas carry signal (not generalization difficulty).
     if "each" in t:
-        a, b = rng.randint(2, 12), rng.randint(2, 9)
+        a, b = rng.randint(2, 9), rng.randint(2, 9)
     else:
-        a, b = rng.randint(4, 60), rng.randint(2, 39)
+        a, b = rng.randint(4, 19), rng.randint(2, 9)
         if a < b:
             a, b = b, a
     q = t.format(n=name, a=a, b=b, it=item)

@@ -101,6 +101,15 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _dotb(a, b, dims):
+    """Dot rounded to bf16 — for the exact one-hot selector/expander folds
+    into the dequant tiles (Mosaic requires a 32-bit matmul accumulator;
+    the round is a separate pre-dot VPU op that pipelines away)."""
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)
+
+
 def _dot_f32(a, b, dims):
     """True-f32 dot. On TPU, f32 matmuls at DEFAULT precision are a single
     bf16 MXU pass — for the mn folds that single rounded value is a
@@ -121,28 +130,43 @@ def _decode_kernel(
     # scalar prefetch
     lens_ref,          # int32 [NSEQ, 2] = per-sequence (comp_len, resid_len)
     pad_start_ref,     # int32 [BH]
-    # inputs (VMEM blocks; paged pool blocks carry an extra leading 1)
-    q_ref,        # [1, GQ, D]        f32 (sm_scale folded in)
-    kpt_ref,      # [1, CB, R, D]     bf16 (K low-rank P factor, transposed)
-    kcodes_ref,   # [1, WD, CHUNK]    int32  (WD = D // fpi)
-    kscale_ref,   # [1, CB, D]        sideband dtype
-    kmn_ref,      # [1, CB, D]
-    kqt_ref,      # [1, R, CHUNK]     bf16
-    vcodes_ref,   # [1, WD, CHUNK]    int32
-    vscale_ref,   # [1, NGV, CHUNK]
-    vmn_ref,      # [1, NGV, CHUNK]
-    vqt_ref,      # [1, R, CHUNK]     bf16
-    vpt_ref,      # [1, CB, R, D]     bf16
-    kresid_ref,   # [1, G, D]         cache dtype
-    vresid_ref,   # [1, G, D]
-    # outputs
-    out_ref,      # [1, GQ, D]   f32  (final normalized attention output)
-    # scratch
-    acc_ref, m_ref, l_ref,
-    *, bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    hkv: int = 1, interpret: bool = False,
+    # then, positionally (VMEM blocks; paged pool blocks carry an extra
+    # leading 1):
+    #   q_ref,        [1, GQ, D]        f32 (sm_scale folded in)
+    #   kpt_ref,      [1, CB, R, D]     bf16 (K low-rank P factor, transposed)
+    #   kcodes_ref,   [1, WD, CHUNK]    int32  (WD = D // fpi)
+    #   kscale_ref,   [1, CB, D]        sideband dtype
+    #   kmn_ref,      [1, CB, D]
+    #   kqt_ref,      [1, R, CHUNK]     bf16
+    #   vcodes_ref,   [1, WD, CHUNK]    int32
+    #   vscale_ref,   [1, NGV, CHUNK]
+    #   vmn_ref,      [1, NGV, CHUNK]
+    #   vqt_ref,      [1, R, CHUNK]     bf16
+    #   vpt_ref,      [1, CB, R, D]     bf16
+    #   kresid_ref,   [1, G, D]         cache dtype
+    #   vresid_ref,   [1, G, D]
+    #   [if ko: koi_ref, kov_ref, voi_ref, vov_ref — COO outlier deltas,
+    #    idx packed 2x16-bit/int32 [1, KO//2, NB], values [1, KO, NB]
+    #    (dense; lanes sliced per chunk) or [1, 1, KO(/2), PB] (paged)]
+    #   out_ref,      [1, GQ, D]   f32  (final normalized attention output)
+    #   acc_ref, m_ref, l_ref  (VMEM scratch)
+    *args,
+    bits: int, group: int, v_group: int, blocks_per_chunk: int,
+    hkv: int = 1, ko: int = 0, interpret: bool = False,
     ablate: frozenset = frozenset(),
 ):
+    if ko:
+        (q_ref, kpt_ref, kcodes_ref, kscale_ref, kmn_ref, kqt_ref,
+         vcodes_ref, vscale_ref, vmn_ref, vqt_ref, vpt_ref,
+         kresid_ref, vresid_ref,
+         koi_ref, kov_ref, voi_ref, vov_ref,
+         out_ref, acc_ref, m_ref, l_ref) = args
+    else:
+        (q_ref, kpt_ref, kcodes_ref, kscale_ref, kmn_ref, kqt_ref,
+         vcodes_ref, vscale_ref, vmn_ref, vqt_ref, vpt_ref,
+         kresid_ref, vresid_ref,
+         out_ref, acc_ref, m_ref, l_ref) = args
+        koi_ref = kov_ref = voi_ref = vov_ref = None
     bh = pl.program_id(0)
     nc = pl.program_id(1)
     cb = blocks_per_chunk
@@ -154,6 +178,35 @@ def _decode_kernel(
     r = kqt_ref.shape[-2]
     ngv = d // v_group
 
+    def _split_oidx(oidx):
+        """Flat block index [CB, KO] -> (t_local, d) int32 tiles."""
+        if d & (d - 1) == 0:
+            t_loc = jax.lax.shift_right_logical(oidx, d.bit_length() - 1)
+        else:
+            t_loc = oidx // d
+        return t_loc, oidx - t_loc * d
+
+    def _ochunk(oref, vref):
+        """Outlier idx/val tiles for THIS chunk: [CB, KO] each.
+
+        Block-major storage: this chunk's blocks are a SUBLANE slice (lane
+        slices would need 128-aligned starts). idx arrives packed
+        two-16-bit-per-int32 ([., KO//2]); unpacking is one mask + one
+        logical shift + a lane concat (order-preserving: word j holds
+        entries j and j + KO/2)."""
+        if vref.shape[-2] != cb:  # dense layout: rows cover all NB blocks
+            lead = (0,) * (len(oref.shape) - 2)
+            oi = oref[lead + (pl.ds(nc * cb, cb), slice(None))]
+            ov = vref[lead + (pl.ds(nc * cb, cb), slice(None))]
+        else:
+            oi = _b(oref, 2)
+            ov = _b(vref, 2)
+        lo = oi & jnp.int32(0xFFFF)
+        hi = pltpu.bitcast(
+            jax.lax.shift_right_logical(pltpu.bitcast(oi, jnp.uint32),
+                                        jnp.uint32(16)), jnp.int32)
+        return jnp.concatenate([lo, hi], axis=1), ov.astype(f32)
+
     @pl.when(nc == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -163,14 +216,29 @@ def _decode_kernel(
     comp_len = lens_ref[bh // hkv, 0]
 
     def _chunk():
+        if "nok" in ablate:  # profiling aid: IO/launch floor (no K scores)
+            _chunk_nok()
+            return
         q = q_ref[0].astype(bf)                             # [GQ, D]
+        use_lr = r > 0 and "nolr" not in ablate
+        use_mn = "nomn" not in ablate
 
-        # ---- K scores with the per-block scale FOLDED INTO q -------------
-        # s[:, t in block c] = (q * kscale[c]) . codes[:, t] + q . kmn[c].
-        # No dequantized K tile is ever materialized. Per-block small dots,
-        # q.mn and low-rank expansions via lane broadcasts: measured FASTER
-        # on v5e than the expander-matmul forms (v8 experiment regressed
-        # 217us -> 230-268us at 8k ctx; see commit log).
+        # ---- dequantized K tile in VMEM — everything PRE-dot -------------
+        # v17 design (profiling table in docs/STATUS.md): any full-size op
+        # placed AFTER a score dot serializes with the online-softmax
+        # recurrence across chunks (~0.1-0.3us per op per grid step); work
+        # placed BEFORE the dot pipelines with the previous chunk's softmax
+        # and the next chunk's DMA. So the kernel materializes
+        # kdeq [D, CHUNK] bf16 = codes * scale + mn + low-rank correction
+        # + COO outlier deltas entirely pre-dot: the scale/mn expansions
+        # are one-hot selector matmuls (exact; no Mosaic bf16 row-broadcast
+        # pitfalls), the low-rank term is one [CB*R, D]x[CB*R, CHUNK]
+        # contraction against block-masked kqt rows, and outliers are
+        # per-block one-hot pair dots. Each fold costs one bf16 rounding
+        # per K element — the same rounding class as the bf16 flash
+        # baseline's K/V tiles. The score dot is then a single
+        # [GQ, D] x [D, CHUNK] pass and the post-dot chain is flash-minimal
+        # (mask -> softmax -> accumulate).
         if "noshift" in ablate:                 # profiling aid: skip unpack
             w = _b(kcodes_ref, 2)
             vpb = 8 // bits if bits != 8 else 1
@@ -180,42 +248,50 @@ def _decode_kernel(
         else:
             kparts = _unpack_parts_bf16(_b(kcodes_ref, 2), bits,
                                         interpret=interpret)
-        dq = d // len(kparts)     # channels per unpacked part
-        qf32 = q_ref[0]                                     # [GQ, D] f32
-        kscale = _b(kscale_ref, 2).astype(f32)              # [CB, D]
-        s_parts = []
-        for c in range(cb):
-            qs_c = (qf32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
-            # the nibble parts feed the dots DIRECTLY (channel ranges
-            # [m*dq, (m+1)*dq)); no [D, CHUNK] concat relayout.
-            s_c = _dot(qs_c[:, :dq], kparts[0][:, c * g:(c + 1) * g],
-                       (((1,), (0,))))                      # [GQ, g] f32
-            for m in range(1, len(kparts)):
-                s_c = s_c + _dot(qs_c[:, m * dq:(m + 1) * dq],
-                                 kparts[m][:, c * g:(c + 1) * g],
-                                 (((1,), (0,))))
-            s_parts.append(s_c)
-        s = jnp.concatenate(s_parts, axis=1)                # [GQ, CHUNK] f32
-        if "nomn" not in ablate:
-            # q.mn carries a large magnitude; keep it f32 end-to-end (a bf16
-            # round here is a systematic per-block bias that doesn't cancel).
-            qmn = _dot_f32(q_ref[0], _b(kmn_ref, 2).astype(f32),
-                           (((1,), (1,))))                  # [GQ, CB] f32
-            qmn_exp = jnp.concatenate(
-                [jnp.broadcast_to(qmn[:, c:c + 1], (gq, g))
-                 for c in range(cb)], axis=1)               # [GQ, CHUNK] f32
-            s = s + qmn_exp
-        # Low-rank score correction. qp = q @ P is computed IN-KERNEL per
-        # rank as a tiny dot, then expanded across each block's tokens with
-        # lane broadcasts.
+        kcat = (jnp.concatenate(kparts, axis=0)
+                if len(kparts) > 1 else kparts[0])          # [D, CHUNK]
+        # block selector: esel[c, t] = (t // g == c)
+        esel = (jax.lax.broadcasted_iota(jnp.int32, (cb, chunk), 0)
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (cb, chunk), 1) // g).astype(bf)
+        scale_rep = _dotb(_b(kscale_ref, 2).astype(bf), esel,
+                          (((0,), (0,))))                   # [D, CHUNK] bf16
+        kdeq = kcat * scale_rep
+        if use_mn:
+            kdeq = kdeq + _dotb(_b(kmn_ref, 2).astype(bf), esel,
+                                (((0,), (0,))))
         kqt = _b(kqt_ref, 2)                                # [R, CHUNK] bf16
-        for ri in range(r if "nolr" not in ablate else 0):
-            kpt_r = _b(kpt_ref, 3)[:, ri, :]                # [CB, D] bf16
-            qp_r = _dot(q, kpt_r, (((1,), (1,))))           # [GQ, CB] f32
-            qp_exp = jnp.concatenate(
-                [jnp.broadcast_to(qp_r[:, c:c + 1], (gq, g))
-                 for c in range(cb)], axis=1)               # [GQ, CHUNK] f32
-            s = s + qp_exp * kqt[ri:ri + 1, :].astype(f32)
+        if use_lr:
+            # K_corr[d, t] = sum_r kpt[c(t), r, d] * kqt[r, t]: contract the
+            # (block, rank) axis of the P factors against block-masked,
+            # rank-tiled kqt rows.
+            kptflat = _b(kpt_ref, 3).reshape(cb * r, d)     # [CB*R, D]
+            wlr = jnp.broadcast_to(
+                kqt[None], (cb, r, chunk)).reshape(cb * r, chunk)
+            lrsel = (jax.lax.broadcasted_iota(
+                         jnp.int32, (cb * r, chunk), 0) // r
+                     == jax.lax.broadcasted_iota(
+                         jnp.int32, (cb * r, chunk), 1) // g)
+            wlr = jnp.where(lrsel, wlr, 0)                  # [CB*R, CHUNK]
+            kdeq = kdeq + _dotb(kptflat, wlr, (((0,), (0,))))
+        # COO outlier deltas: kdeq[d_o, t_o] += delta_o, scatter-free — per
+        # block a one-hot d-gather x one-hot t-scatter pair dot. Replaces
+        # the reference's never-implemented fused outlier slots
+        # (modeling_llamagear.py:458-466).
+        if ko:
+            koi, kov = _ochunk(koi_ref, kov_ref)            # [CB, KO]
+            kt_loc, kd_col = _split_oidx(koi)
+            iota_kd = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
+            iota_kg = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
+            dk_parts = []
+            for c in range(cb):
+                gd = jnp.where(kd_col[c:c + 1, :] == iota_kd,
+                               kov[c:c + 1, :], 0.0).astype(bf)   # [D, KO]
+                wt = (kt_loc[c:c + 1, :] == iota_kg).astype(bf)   # [g, KO]
+                dk_parts.append(_dotb(gd, wt, (((1,), (1,)))))    # [D, g]
+            kdeq = kdeq + jnp.concatenate(dk_parts, axis=1)
+
+        s = _dot(q, kdeq, (((1,), (0,))))                   # [GQ, CHUNK] f32
 
         # ---- masking: padding prefix and beyond-comp_len tail -----------
         if "nomask" not in ablate:  # profiling aid
@@ -228,67 +304,70 @@ def _decode_kernel(
         m_prev = m_ref[:, :1]                               # [GQ, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new), 0.0)  # [GQ,CHUNK]
+        if "noexp" in ablate:  # profiling aid: transcendental cost
+            alpha = (m_prev - m_new) * 0.01 + 1.0
+            p = jnp.where(s > MASK_VAL / 2, (s - m_new) * 0.01 + 1.0, 0.0)
+        else:
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new),
+                          0.0)                              # [GQ, CHUNK]
         l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         p_bf = p.astype(bf)
 
-        # ---- PV with V scale/mn FOLDED INTO p (no dequant tensor) -------
-        # pv[., d in group i] = (p * vscale[i]) . codes[d, :] + (p . vmn[i])
+        # ---- PV against the dequantized V tile (same pre-dot scheme) ----
+        # vdeq [D, CHUNK] bf16 = codes * scale + mn + low-rank + outliers;
+        # per-(token, d-group) scale/mn rows expand via a one-hot selector
+        # dot (group i covers rows [i*v_group, (i+1)*v_group)).
         if "nov" in ablate:                     # profiling aid: skip V side
             pv = jnp.zeros((gq, d), f32)
         else:
             vparts = _unpack_parts_bf16(_b(vcodes_ref, 2), bits,
                                         interpret=interpret)
-            dqv = d // len(vparts)
-            if v_group % dqv == 0:
-                # part boundaries align with d-groups: slice parts directly
-                def vrows(i):
-                    lo_part, n_parts = (i * v_group) // dqv, v_group // dqv
-                    return (jnp.concatenate(
-                        vparts[lo_part:lo_part + n_parts], axis=0)
-                        if n_parts > 1 else vparts[lo_part])
-            else:
-                vcodes = jnp.concatenate(vparts, axis=0)    # [D, CHUNK]
-
-                def vrows(i):
-                    return vcodes[i * v_group:(i + 1) * v_group, :]
-            pv_parts = []
-            for i in range(ngv):
-                vs_i = _b(vscale_ref, 2)[i:i + 1, :].astype(f32)
-                ps = (p * vs_i).astype(bf)                  # [GQ, CHUNK]
-                pv_parts.append(_dot(ps, vrows(i),
-                                     (((1,), (1,)))))       # [GQ, v_group]
-            pv = (jnp.concatenate(pv_parts, axis=-1) if ngv > 1
-                  else pv_parts[0])                         # [GQ, D] f32
-            if "nomn" not in ablate:
-                # per-group mins: (p . vmn) expanded over the group's d-range
-                # via a tiny static expander. f32 end-to-end — a bf16 round
-                # here is a systematic per-group bias that doesn't cancel.
-                pmn = _dot_f32(p, _b(vmn_ref, 2).astype(f32),
-                               (((1,), (1,))))              # [GQ, NGV]
-                grow = jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 0)
-                gcol = jax.lax.broadcasted_iota(
-                    jnp.int32, (ngv, d), 1) // v_group
-                vg_exp = (grow == gcol).astype(f32)         # [NGV, D]
-                pv = pv + _dot_f32(pmn, vg_exp, (((1,), (0,))))
-
-            # low-rank PV correction: sum_r blocksum(p * vqt_r) @ vpt_r.
-            # The per-block sums run on the VPU (lane-slice reductions).
+            vcat = (jnp.concatenate(vparts, axis=0)
+                    if len(vparts) > 1 else vparts[0])      # [D, CHUNK]
+            vgsel = (jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 0)
+                     == jax.lax.broadcasted_iota(
+                         jnp.int32, (ngv, d), 1) // v_group).astype(bf)
+            vs_rep = _dotb(vgsel, _b(vscale_ref, 2).astype(bf),
+                           (((0,), (0,))))                  # [D, CHUNK]
+            vdeq = vcat * vs_rep
+            if use_mn:
+                vdeq = vdeq + _dotb(vgsel, _b(vmn_ref, 2).astype(bf),
+                                    (((0,), (0,))))
             vqt = _b(vqt_ref, 2)                            # [R, CHUNK] bf16
-            for ri in range(r if "nolr" not in ablate else 0):
-                w_r = p * vqt[ri:ri + 1, :].astype(f32)     # [GQ, CHUNK] f32
-                wv_r = jnp.concatenate(
-                    [jnp.sum(w_r[:, c * g:(c + 1) * g], axis=1,
-                             keepdims=True) for c in range(cb)],
-                    axis=1)                                 # [GQ, CB] f32
-                pv = pv + _dot(wv_r.astype(bf),
-                               _b(vpt_ref, 3)[:, ri, :],
-                               (((1,), (0,))))              # [GQ, D]
+            if use_lr:
+                vptflat = _b(vpt_ref, 3).reshape(cb * r, d)  # [CB*R, D]
+                wvlr = jnp.broadcast_to(
+                    vqt[None], (cb, r, chunk)).reshape(cb * r, chunk)
+                wvlr = jnp.where(lrsel, wvlr, 0)
+                vdeq = vdeq + _dotb(vptflat, wvlr, (((0,), (0,))))
+            if ko:
+                voi, vov = _ochunk(voi_ref, vov_ref)        # [CB, KO]
+                vt_loc, vd_col = _split_oidx(voi)
+                iota_vd = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
+                iota_vg = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
+                dv_parts = []
+                for c in range(cb):
+                    gd = jnp.where(vd_col[c:c + 1, :] == iota_vd,
+                                   vov[c:c + 1, :], 0.0).astype(bf)
+                    wt = (vt_loc[c:c + 1, :] == iota_vg).astype(bf)
+                    dv_parts.append(_dotb(gd, wt, (((1,), (1,)))))
+                vdeq = vdeq + jnp.concatenate(dv_parts, axis=1)
+
+            pv = _dot(p_bf, vdeq, (((1,), (1,))))           # [GQ, D] f32
 
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    def _chunk_nok():
+        # touch each input tile once; no matmuls, no softmax chain — the
+        # residual cost is block DMA + grid-step launch overhead.
+        touch = (jnp.sum(_b(kcodes_ref, 2)[:1, :1])
+                 + jnp.sum(_b(vcodes_ref, 2)[:1, :1])).astype(f32)
+        acc_ref[:] = acc_ref[:] + touch
+        m_ref[:] = jnp.maximum(m_ref[:], 0.0)
+        l_ref[:] = l_ref[:] + 1.0
 
     if "nopred" in ablate:  # profiling aid: unconditional chunk execution
         _chunk()
@@ -323,7 +402,7 @@ def _decode_kernel(
                      "hkv", "interpret", "ablate"),
 )
 def decode_attention(
-    lens: jax.Array,         # int32 [B, 2] = per-seq (comp_len, resid_len)
+    lens: jax.Array,         # int32 [B, 3] per-seq (comp, resid, prefill)
     pad_start: jax.Array,    # int32 [BH]
     q: jax.Array,            # [BH, GQ, D] f32 — sm_scale already folded in
     kpt: jax.Array,          # [BH, NB, R, D] K low-rank P factor (transposed)
@@ -338,6 +417,10 @@ def decode_attention(
     vpt: jax.Array,          # [BH, NB, R, D]
     k_resid: jax.Array,      # [BH, G, D]
     v_resid: jax.Array,      # [BH, G, D]
+    k_out_idx: jax.Array | None = None,   # int32 [BH, NB, KO//2] (packed)
+    k_out_val: jax.Array | None = None,   # [BH, KO, NB] delta values
+    v_out_idx: jax.Array | None = None,
+    v_out_val: jax.Array | None = None,
     *,
     bits: int,
     group: int,
@@ -351,11 +434,13 @@ def decode_attention(
 
     Returns the normalized attention output [BH, GQ, D] f32 (both tiers).
     ``hkv`` = kv heads per sequence (row i of the BH axis belongs to
-    sequence i // hkv of ``lens``).
+    sequence i // hkv of ``lens``). COO outlier corrections (GEAR ``left``)
+    are folded in-kernel when the k/v_out arrays are given.
     """
     bh, gq, d = q.shape
     t = kqt.shape[2]
     nb = t // group
+    ko = 0 if k_out_idx is None else 2 * k_out_idx.shape[2]
     # Chunk size: cb blocks of `group` tokens. The k_scale block is
     # [cb, D], so cb must be a multiple of 8 or equal nb (TPU tiling rule).
     cb = min(blocks_per_chunk, nb)
@@ -363,6 +448,11 @@ def decode_attention(
         cb -= 1
     if cb % 8 and cb != nb:
         cb = nb  # fall back to one chunk
+    if ko and cb % 16 and cb != nb:
+        # outlier tiles are sublane-sliced per chunk; bf16 delta rows need
+        # 16-aligned starts
+        cb = next((c for c in range(min(blocks_per_chunk, nb), 15, -1)
+                   if nb % c == 0 and c % 16 == 0), nb)
     nc = nb // cb
     r = kqt.shape[1]
     wd = d // (32 // bits)
@@ -371,28 +461,44 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, hkv=hkv, interpret=interpret, ablate=ablate)
+        blocks_per_chunk=cb, hkv=hkv, ko=ko, interpret=interpret,
+        ablate=ablate)
+
+    in_specs = [
+        pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((1, group, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, group, d), lambda i, j, *_: (i, 0, 0)),
+    ]
+    inputs = [lens, pad_start,
+              q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
+              vqt, vpt, k_resid, v_resid]
+    if ko:
+        # full [NB, KO(/2)] tiles per head; constant across j so Pallas only
+        # DMAs them once per head — the kernel sublane-slices its chunk.
+        in_specs += [
+            pl.BlockSpec((1, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, nb, ko), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((1, nb, ko), lambda i, j, *_: (i, 0, 0)),
+        ]
+        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(bh, nc),
-            in_specs=[
-                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
-                pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
-                pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
-                pl.BlockSpec((1, group, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, group, d), lambda i, j, *_: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
             ],
@@ -406,11 +512,7 @@ def decode_attention(
             jax.ShapeDtypeStruct((bh, gq, d), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        lens, pad_start,
-        q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn, vqt,
-        vpt, k_resid, v_resid,
-    )
+    )(*inputs)
     return out[0]
 
 
@@ -428,15 +530,11 @@ def attend_fused(
     """Drop-in replacement for gear_tpu.cache.attend using the Pallas fused
     kernel for both tiers (packed prefix + residual) of the cache.
 
-    COO outliers (spec.outliers_per_block > 0) fall back to the XLA attend
-    path, which restores them exactly — the reference's own fused CUDA path
-    never implemented its outlier slots (modeling_llamagear.py:458-466,
-    always None); here the capability exists but costs the Pallas fast
-    path (in-kernel scatter-free outlier folding is future work)."""
-    from .. import cache as _cache_mod0
-    if spec.outliers_per_block:
-        return _cache_mod0.attend(spec, cache, q, sm_scale=sm_scale,
-                                  pad_start=pad_start)
+    COO outliers (spec.outliers_per_block > 0) are folded IN-KERNEL as
+    one-hot gather/scatter dots over the stored deltas — the full GEAR
+    recipe (quant + low-rank + outliers) in one HBM pass. The reference's
+    fused CUDA path never implemented its outlier slots
+    (modeling_llamagear.py:458-466, always None); this surpasses it."""
     b, hq, qn, d = q.shape
     hkv = spec.num_kv_heads
     gq_n = (hq // hkv) * qn
@@ -472,7 +570,15 @@ def attend_fused(
 
     lens = jnp.broadcast_to(
         jnp.stack([cache.comp_len.astype(jnp.int32),
-                   cache.resid_len.astype(jnp.int32)])[None, :], (b, 2))
+                   cache.resid_len.astype(jnp.int32),
+                   cache.prefill_len.astype(jnp.int32)])[None, :], (b, 3))
+
+
+    if spec.outliers_per_block:
+        outlier_args = (flat(cache.k_out_idx), flat(cache.k_out_val),
+                        flat(cache.v_out_idx), flat(cache.v_out_val))
+    else:
+        outlier_args = (None, None, None, None)
 
     out = decode_attention(
         lens,
@@ -489,6 +595,7 @@ def attend_fused(
         flat(vpt_in),
         flat(cache.k_resid),
         flat(cache.v_resid),
+        *outlier_args,
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
         blocks_per_chunk=blocks_per_chunk, hkv=hkv, interpret=interpret,
         ablate=ablate,
@@ -510,7 +617,7 @@ def attend_fused(
                      "interpret"),
 )
 def decode_attention_paged(
-    lens: jax.Array,         # int32 [B, 2] per-seq (comp_len, resid_len)
+    lens: jax.Array,         # int32 [B, 3] per-seq (comp, resid, prefill)
     pad_start: jax.Array,    # int32 [BH]
     block_table: jax.Array,  # int32 [B, MAXP] physical page per logical page
     q: jax.Array,            # [BH, GQ, D] f32 — sm_scale folded in
@@ -526,6 +633,10 @@ def decode_attention_paged(
     vpt: jax.Array,          # [P, H, PB, R, D] ------------------------------
     k_resid: jax.Array,      # [B, H, G, D] per-seq residual tier
     v_resid: jax.Array,      # [B, H, G, D]
+    k_out_idx: jax.Array | None = None,   # int32 [P, H, PB, KO//2]
+    k_out_val: jax.Array | None = None,   # [P, H, KO, PB] delta values
+    v_out_idx: jax.Array | None = None,
+    v_out_val: jax.Array | None = None,
     *,
     bits: int,
     group: int,
@@ -539,7 +650,8 @@ def decode_attention_paged(
     One grid step streams one page; the scalar-prefetched ``block_table``
     drives the DMA source page, so no gather/copy of pages ever happens.
     Unallocated table tail entries must be clamped to a valid page id (the
-    kernel masks them off via comp_len).
+    kernel masks them off via comp_len). COO outlier deltas ride along as
+    per-page tiles when given.
     """
     bh, gq, d = q.shape
     maxp = block_table.shape[1]
@@ -548,12 +660,14 @@ def decode_attention_paged(
     r = kqt.shape[2]
     wd = d // (32 // bits)
     ngv = d // v_group
+    ko = 0 if k_out_idx is None else 2 * k_out_idx.shape[3]
 
     def kernel(lens_ref, pad_ref, bt_ref, *args):
         # bt_ref drives the index_maps only; the kernel body never reads it.
         _decode_kernel(lens_ref, pad_ref, *args,
                        bits=bits, group=group, v_group=v_group,
-                       blocks_per_chunk=cb, hkv=hkv, interpret=interpret)
+                       blocks_per_chunk=cb, hkv=hkv, ko=ko,
+                       interpret=interpret)
 
     def tok(i, j, lens_, pad_, bt_):
         return (bt_[i // hkv, j], i % hkv, 0, 0)
@@ -561,28 +675,41 @@ def decode_attention_paged(
     def blk(i, j, lens_, pad_, bt_):
         return (bt_[i // hkv, j], i % hkv, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, cb, r, d), blk),
+        pl.BlockSpec((1, 1, wd, chunk), tok),
+        pl.BlockSpec((1, 1, cb, d), tok),
+        pl.BlockSpec((1, 1, cb, d), tok),
+        pl.BlockSpec((1, 1, r, chunk), tok),
+        pl.BlockSpec((1, 1, wd, chunk), tok),
+        pl.BlockSpec((1, 1, ngv, chunk), tok),
+        pl.BlockSpec((1, 1, ngv, chunk), tok),
+        pl.BlockSpec((1, 1, r, chunk), tok),
+        pl.BlockSpec((1, 1, cb, r, d), blk),
+        pl.BlockSpec((1, 1, group, d),
+                     lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
+        pl.BlockSpec((1, 1, group, d),
+                     lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
+    ]
+    inputs = [lens, pad_start, block_table,
+              q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
+              vqt, vpt, k_resid, v_resid]
+    if ko:
+        in_specs += [
+            pl.BlockSpec((1, 1, cb, ko // 2), tok),
+            pl.BlockSpec((1, 1, cb, ko), tok),
+            pl.BlockSpec((1, 1, cb, ko // 2), tok),
+            pl.BlockSpec((1, 1, cb, ko), tok),
+        ]
+        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(bh, maxp),
-            in_specs=[
-                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-                pl.BlockSpec((1, 1, cb, r, d), blk),
-                pl.BlockSpec((1, 1, wd, chunk), tok),
-                pl.BlockSpec((1, 1, cb, d), tok),
-                pl.BlockSpec((1, 1, cb, d), tok),
-                pl.BlockSpec((1, 1, r, chunk), tok),
-                pl.BlockSpec((1, 1, wd, chunk), tok),
-                pl.BlockSpec((1, 1, ngv, chunk), tok),
-                pl.BlockSpec((1, 1, ngv, chunk), tok),
-                pl.BlockSpec((1, 1, r, chunk), tok),
-                pl.BlockSpec((1, 1, cb, r, d), blk),
-                pl.BlockSpec((1, 1, group, d),
-                             lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
-                pl.BlockSpec((1, 1, group, d),
-                             lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
             ],
@@ -596,11 +723,7 @@ def decode_attention_paged(
             jax.ShapeDtypeStruct((bh, gq, d), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        lens, pad_start, block_table,
-        q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn, vqt,
-        vpt, k_resid, v_resid,
-    )
+    )(*inputs)
     return out[0]
 
 
@@ -638,19 +761,47 @@ def attend_paged(
         pad_bh = jnp.repeat(pad_start.astype(jnp.int32), hkv)
 
     lens = jnp.stack([seqs.comp_len.astype(jnp.int32),
-                      seqs.resid_len.astype(jnp.int32)], axis=1)  # [B, 2]
+                      seqs.resid_len.astype(jnp.int32),
+                      seqs.prefill_len.astype(jnp.int32)], axis=1)  # [B, 3]
     bt = jnp.maximum(seqs.block_table.astype(jnp.int32), 0)
+
+    if spec.base_bits == 8:
+        # dequantize the int8 pool bases to bf16 views for the kernel
+        # (HBM residency stays int8; kernel-native int8 base reads are a
+        # later optimization — mirrors the dense attend_fused path).
+        kpt_in = (pool.kpt.astype(jnp.float32)
+                  * pool.kpt_scale[..., None]).astype(jnp.bfloat16)
+        vpt_in = (pool.vpt.astype(jnp.float32)
+                  * pool.vpt_scale[..., None]).astype(jnp.bfloat16)
+        kqt_in = (pool.kqt.astype(jnp.float32)
+                  * jnp.repeat(pool.kqt_scale, spec.group, axis=-1)
+                  ).astype(jnp.bfloat16)
+        vqt_in = (pool.vqt.astype(jnp.float32)
+                  * jnp.repeat(pool.vqt_scale, spec.group, axis=-1)
+                  ).astype(jnp.bfloat16)
+    else:
+        kpt_in = pool.kpt.astype(jnp.bfloat16)
+        vpt_in = pool.vpt.astype(jnp.bfloat16)
+        kqt_in = pool.kqt.astype(jnp.bfloat16)
+        vqt_in = pool.vqt.astype(jnp.bfloat16)
+
+    if spec.outliers_per_block:
+        outlier_args = (pool.k_out_idx, pool.k_out_val,
+                        pool.v_out_idx, pool.v_out_val)
+    else:
+        outlier_args = (None, None, None, None)
 
     out = decode_attention_paged(
         lens, pad_bh, bt,
         qf.reshape(bhn, gq_pad, d),
-        pool.kpt.astype(jnp.bfloat16),
+        kpt_in,
         pool.k_codes, pool.k_scale, pool.k_mn,
-        pool.kqt.astype(jnp.bfloat16),
+        kqt_in,
         pool.v_codes, pool.v_scale, pool.v_mn,
-        pool.vqt.astype(jnp.bfloat16),
-        pool.vpt.astype(jnp.bfloat16),
+        vqt_in,
+        vpt_in,
         seqs.k_resid, seqs.v_resid,
+        *outlier_args,
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
         page_blocks=pspec.page_blocks, hkv=hkv, interpret=interpret,
     )

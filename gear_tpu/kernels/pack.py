@@ -36,10 +36,12 @@ def _pack_bytestrided(codes, bits: int):
     vpb = 8 // bits
     n = codes.shape[-1]
     nb = n // vpb
-    byte = codes[..., :nb].astype(jnp.uint32)
+    # int32 end-to-end: Mosaic on v5e supports no uint32<->float casts
+    # (all byte values are < 2^16, so int32 arithmetic is exact).
+    byte = codes[..., :nb]
     for m in range(1, vpb):
-        byte = byte | (codes[..., m * nb:(m + 1) * nb].astype(jnp.uint32)
-                       << jnp.uint32(m * bits))
+        byte = byte | (codes[..., m * nb:(m + 1) * nb]
+                       << jnp.int32(m * bits))
     w = nb // 4
     # selection matrices: S_lo[b, w] = 1 if b==4w, 256 if b==4w+1;
     #                     S_hi[b, w] = 1 if b==4w+2, 256 if b==4w+3.
@@ -57,9 +59,9 @@ def _pack_bytestrided(codes, bits: int):
     hi16 = jax.lax.dot_general(bf32, s_hi, dims,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
-    word = lo16.astype(jnp.uint32) | (hi16.astype(jnp.uint32)
-                                      << jnp.uint32(16))
-    return word.astype(jnp.int32)
+    # hi16 << 16 wraps into the sign bit for values >= 2^15 — the intended
+    # bit pattern for the packed int32 word.
+    return lo16.astype(jnp.int32) | (hi16.astype(jnp.int32) << jnp.int32(16))
 
 
 def _token_kernel(x_ref, codes_ref, scale_ref, mn_ref, *, bits, v_group):

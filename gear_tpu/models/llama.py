@@ -440,7 +440,8 @@ def forward_decode_paged(
 
     shared = paged_mod.PagedSeqs(
         block_table=seqs.block_table, comp_len=seqs.comp_len,
-        resid_len=seqs.resid_len, k_resid=None, v_resid=None)
+        resid_len=seqs.resid_len, prefill_len=seqs.prefill_len,
+        k_resid=None, v_resid=None)
 
     def body(h, xs):
         lp, lpool, rk, rv, lkey = xs

@@ -50,13 +50,6 @@ class PagedSpec:
     def __post_init__(self):
         if self.spec.n_blocks % self.page_blocks:
             raise ValueError("max_len must be a multiple of the page extent")
-        if self.spec.base_bits != 16:
-            raise NotImplementedError(
-                "paged pools store bf16 low-rank bases (int8 bases are a "
-                "dense-cache feature for now)")
-        if self.spec.outliers_per_block:
-            raise NotImplementedError(
-                "COO outliers are a dense-cache feature for now")
 
     @property
     def page_tokens(self) -> int:
@@ -81,6 +74,18 @@ class PagePool:
     kqt: jax.Array       # [P, H, R, PT]
     vpt: jax.Array       # [P, H, PB, R, D]
     vqt: jax.Array       # [P, H, R, PT]
+    # COO outlier deltas, block-major with entries in lanes (cache.LayerCache
+    # convention; idx packed two-16-bit-per-int32); zero-size when
+    # outliers_per_block == 0.
+    k_out_idx: jax.Array  # int32 [P, H, PB, KO // 2]
+    k_out_val: jax.Array  # [P, H, PB, KO]
+    v_out_idx: jax.Array  # int32 [P, H, PB, KO // 2]
+    v_out_val: jax.Array  # [P, H, PB, KO]
+    # int8-base scales (all-ones when base_bits == 16).
+    kpt_scale: jax.Array  # [P, H, PB, R]
+    kqt_scale: jax.Array  # [P, H, R, PB]
+    vpt_scale: jax.Array  # [P, H, PB, R]
+    vqt_scale: jax.Array  # [P, H, R, PB]
 
 
 @struct.dataclass
@@ -90,6 +95,7 @@ class PagedSeqs:
     block_table: jax.Array  # int32 [B, MAXP]; entries < 0 are unallocated
     comp_len: jax.Array     # int32 [B]
     resid_len: jax.Array    # int32 [B]
+    prefill_len: jax.Array  # int32 [B] — prefix whose blocks share one P
     k_resid: jax.Array      # [B, H, group, D]
     v_resid: jax.Array      # [B, H, group, D]
 
@@ -111,6 +117,14 @@ def init_pool(pspec: PagedSpec) -> PagePool:
         kqt=jnp.zeros((p, h, r, pt), base_dt),
         vpt=jnp.zeros((p, h, pb, r, d), base_dt),
         vqt=jnp.zeros((p, h, r, pt), base_dt),
+        k_out_idx=jnp.zeros((p, h, pb, s.outliers_per_block // 2), jnp.int32),
+        k_out_val=jnp.zeros((p, h, pb, s.outliers_per_block), s.dtype),
+        v_out_idx=jnp.zeros((p, h, pb, s.outliers_per_block // 2), jnp.int32),
+        v_out_val=jnp.zeros((p, h, pb, s.outliers_per_block), s.dtype),
+        kpt_scale=jnp.ones((p, h, pb, r), jnp.float32),
+        kqt_scale=jnp.ones((p, h, r, pb), jnp.float32),
+        vpt_scale=jnp.ones((p, h, pb, r), jnp.float32),
+        vqt_scale=jnp.ones((p, h, r, pb), jnp.float32),
     )
 
 
@@ -120,6 +134,7 @@ def init_seqs(pspec: PagedSpec, batch: int) -> PagedSeqs:
         block_table=jnp.full((batch, pspec.max_pages_per_seq), -1, jnp.int32),
         comp_len=jnp.zeros((batch,), jnp.int32),
         resid_len=jnp.zeros((batch,), jnp.int32),
+        prefill_len=jnp.zeros((batch,), jnp.int32),
         k_resid=jnp.zeros((batch, s.num_kv_heads, s.group, s.head_dim),
                           s.dtype),
         v_resid=jnp.zeros((batch, s.num_kv_heads, s.group, s.head_dim),
@@ -226,7 +241,7 @@ def _scatter_prefix_into_pages(
     """
     pt, pb = pspec.page_tokens, pspec.page_blocks
     upd = {}
-    for leaf, dleaf, tok_axis, blk_axis in (
+    rows = [
         ("k_codes", dense.k_codes, 3, None),
         ("v_codes", dense.v_codes, 3, None),
         ("v_scale", dense.v_scale, 3, None),
@@ -237,7 +252,19 @@ def _scatter_prefix_into_pages(
         ("k_mn", dense.k_mn, None, 2),
         ("kpt", dense.kpt, None, 2),
         ("vpt", dense.vpt, None, 2),
-    ):
+        ("kpt_scale", dense.kpt_scale, None, 2),
+        ("vpt_scale", dense.vpt_scale, None, 2),
+        ("kqt_scale", dense.kqt_scale, None, 3),
+        ("vqt_scale", dense.vqt_scale, None, 3),
+    ]
+    if pspec.spec.outliers_per_block:
+        rows += [
+            ("k_out_idx", dense.k_out_idx, None, 2),
+            ("k_out_val", dense.k_out_val, None, 2),
+            ("v_out_idx", dense.v_out_idx, None, 2),
+            ("v_out_val", dense.v_out_val, None, 2),
+        ]
+    for leaf, dleaf, tok_axis, blk_axis in rows:
         arr = getattr(pool, leaf)
         for i in range(n_pages_used):
             pid = page_ids[i]
@@ -285,6 +312,7 @@ def prefill_paged(
         block_table=bt,
         comp_len=seqs.comp_len.at[row].set(dense.comp_len),
         resid_len=seqs.resid_len.at[row].set(dense.resid_len),
+        prefill_len=seqs.prefill_len.at[row].set(dense.prefill_len),
         k_resid=seqs.k_resid.at[row].set(dense.k_resid[0]),
         v_resid=seqs.v_resid.at[row].set(dense.v_resid[0]),
     )
@@ -347,8 +375,8 @@ def append_paged(
     def flush_row(pool, seqs, rowi, subkey):
         kb = seqs.k_resid[rowi:rowi + 1].astype(jnp.float32)
         vb = seqs.v_resid[rowi:rowi + 1].astype(jnp.float32)
-        k_pack, k_scale, k_mn, _, _ = kvcache._compress_k_block(spec, kb)
-        v_pack, v_scale, v_mn, _, _ = kvcache._compress_v_block(spec, vb)
+        k_pack, k_scale, k_mn, ko_i, ko_v = kvcache._compress_k_block(spec, kb)
+        v_pack, v_scale, v_mn, vo_i, vo_v = kvcache._compress_v_block(spec, vb)
         blk = seqs.comp_len[rowi] // g            # global block index
         pid = seqs.block_table[rowi, blk // pb]   # tail page
         off = blk % pb                            # block offset in page
@@ -365,6 +393,11 @@ def append_paged(
                     arr[pid], val[0].astype(arr.dtype),
                     (0, off) + (0,) * (arr.ndim - 3)))
 
+        def upd_blk_lane(arr, val):   # blocks-in-lanes leaves [H, X, PB]
+            return arr.at[pid].set(
+                jax.lax.dynamic_update_slice(
+                    arr[pid], val[0].astype(arr.dtype), (0, 0, off)))
+
         upd = dict(
             k_codes=upd_tok(pool.k_codes, k_pack),
             v_codes=upd_tok(pool.v_codes, v_pack),
@@ -373,16 +406,25 @@ def append_paged(
             k_scale=upd_blk(pool.k_scale, k_scale),
             k_mn=upd_blk(pool.k_mn, k_mn),
         )
+        if spec.outliers_per_block:
+            upd.update(
+                k_out_idx=upd_blk(pool.k_out_idx, ko_i),
+                k_out_val=upd_blk(pool.k_out_val, ko_v),
+                v_out_idx=upd_blk(pool.v_out_idx, vo_i),
+                v_out_val=upd_blk(pool.v_out_val, vo_v),
+            )
         if use_lowrank and spec.rank > 0:
             # Same key chain as the dense path (cache.append -> _flush) so a
             # paged sequence is bit-identical to its dense twin.
             kk, kv = jax.random.split(jax.random.fold_in(subkey, 0))
-            k_hat = kvcache._dequant_k_block(spec, k_pack, k_scale, k_mn)
-            v_hat = kvcache._dequant_v_block(spec, v_pack, v_scale, v_mn)
-            kp1, kqt1, _, _ = kvcache._error_bases(spec, kb, k_hat,
-                                                   spec.rank, kk)
-            vp1, vqt1, _, _ = kvcache._error_bases(spec, vb, v_hat,
-                                                   spec.rank, kv)
+            k_hat = kvcache._dequant_k_block(spec, k_pack, k_scale, k_mn,
+                                             ko_i, ko_v)
+            v_hat = kvcache._dequant_v_block(spec, v_pack, v_scale, v_mn,
+                                             vo_i, vo_v)
+            kp1, kqt1, kps1, kqs1 = kvcache._error_bases(spec, kb, k_hat,
+                                                         spec.rank, kk)
+            vp1, vqt1, vps1, vqs1 = kvcache._error_bases(spec, vb, v_hat,
+                                                         spec.rank, kv)
             upd.update(
                 kqt=upd_tok(pool.kqt, kqt1),
                 vqt=upd_tok(pool.vqt, vqt1),
@@ -391,6 +433,15 @@ def append_paged(
                 vpt=upd_blk(pool.vpt,
                             jnp.swapaxes(vp1, -1, -2)[:, :, None]),
             )
+            if spec.base_bits == 8:
+                upd.update(
+                    kpt_scale=upd_blk(pool.kpt_scale, kps1[:, :, None]),
+                    vpt_scale=upd_blk(pool.vpt_scale, vps1[:, :, None]),
+                    kqt_scale=upd_blk_lane(pool.kqt_scale,
+                                           kqs1[:, :, :, None]),
+                    vqt_scale=upd_blk_lane(pool.vqt_scale,
+                                           vqs1[:, :, :, None]),
+                )
         new_pool = pool.replace(**upd)
         new_seqs = seqs.replace(
             comp_len=seqs.comp_len.at[rowi].add(g),
@@ -422,7 +473,7 @@ def append_paged(
 
 def _gather_row(
     pspec: PagedSpec, pool: PagePool, bt_row: jax.Array,   # int32 [MAXP]
-    comp_len, resid_len, k_resid, v_resid,                  # per-row state
+    comp_len, resid_len, prefill_len, k_resid, v_resid,     # per-row state
 ) -> kvcache.LayerCache:
     """Materialize one sequence's dense LayerCache (B=1) from its pages."""
     spec = pspec.spec
@@ -432,32 +483,30 @@ def _gather_row(
         g = leaf[safe_bt]                              # [MAXP,H,X,PT]
         g = jnp.moveaxis(g, 0, 1)                      # [H,MAXP,X,PT]
         g = jnp.swapaxes(g, -2, -3)                    # [H,X,MAXP,PT]
-        return g.reshape(*g.shape[:-2], -1)[None]
+        # explicit sizes (a -1 breaks on zero-size leaves, e.g. KO == 0)
+        return g.reshape(*g.shape[:-2], g.shape[-2] * g.shape[-1])[None]
 
     def gblk(leaf):   # [P,H,PB,...] -> [1,H,NB,...]
         g = leaf[safe_bt]                              # [MAXP,H,PB,...]
         g = jnp.moveaxis(g, 0, 1)                      # [H,MAXP,PB,...]
-        return g.reshape(g.shape[0], -1, *g.shape[3:])[None]
+        return g.reshape(g.shape[0], g.shape[1] * g.shape[2],
+                         *g.shape[3:])[None]
 
-    ones = jnp.ones
-    zi = jnp.zeros((1, spec.num_kv_heads, spec.n_blocks, 0), jnp.int32)
-    zv = jnp.zeros((1, spec.num_kv_heads, spec.n_blocks, 0), spec.dtype)
-    r, nb = spec.r_store, spec.n_blocks
     return kvcache.LayerCache(
         k_codes=gtok(pool.k_codes), k_scale=gblk(pool.k_scale),
         k_mn=gblk(pool.k_mn),
         v_codes=gtok(pool.v_codes), v_scale=gtok(pool.v_scale),
         v_mn=gtok(pool.v_mn),
-        k_out_idx=zi, k_out_val=zv, v_out_idx=zi, v_out_val=zv,
+        k_out_idx=gblk(pool.k_out_idx), k_out_val=gblk(pool.k_out_val),
+        v_out_idx=gblk(pool.v_out_idx), v_out_val=gblk(pool.v_out_val),
         k_resid=k_resid[None], v_resid=v_resid[None],
         kpt=gblk(pool.kpt), kqt=gtok(pool.kqt),
         vpt=gblk(pool.vpt), vqt=gtok(pool.vqt),
-        kpt_scale=ones((1, spec.num_kv_heads, nb, r), jnp.float32),
-        kqt_scale=ones((1, spec.num_kv_heads, r, nb), jnp.float32),
-        vpt_scale=ones((1, spec.num_kv_heads, nb, r), jnp.float32),
-        vqt_scale=ones((1, spec.num_kv_heads, r, nb), jnp.float32),
+        kpt_scale=gblk(pool.kpt_scale), kqt_scale=gtok(pool.kqt_scale),
+        vpt_scale=gblk(pool.vpt_scale), vqt_scale=gtok(pool.vqt_scale),
         comp_len=comp_len,
         resid_len=resid_len,
+        prefill_len=prefill_len,
     )
 
 
@@ -469,6 +518,7 @@ def gather_dense(
     The correctness reference for the paged Pallas kernel."""
     return _gather_row(pspec, pool, seqs.block_table[row],
                        seqs.comp_len[row], seqs.resid_len[row],
+                       seqs.prefill_len[row],
                        seqs.k_resid[row], seqs.v_resid[row])
 
 
@@ -489,11 +539,11 @@ def attend_xla(
     if pad_start is None:
         pad_start = jnp.zeros((b,), jnp.int32)
 
-    def one(bt_row, comp, resid, kr, vr, q_row, pad_row):
-        cache = _gather_row(pspec, pool, bt_row, comp, resid, kr, vr)
+    def one(bt_row, comp, resid, pre, kr, vr, q_row, pad_row):
+        cache = _gather_row(pspec, pool, bt_row, comp, resid, pre, kr, vr)
         return kvcache.attend(spec, cache, q_row[None], sm_scale=sm_scale,
                               pad_start=pad_row[None])[0]
 
-    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
-        seqs.block_table, seqs.comp_len, seqs.resid_len,
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+        seqs.block_table, seqs.comp_len, seqs.resid_len, seqs.prefill_len,
         seqs.k_resid, seqs.v_resid, q, pad_start.astype(jnp.int32))

@@ -84,6 +84,7 @@ def split_cache(spec: CacheSpec, cache: LayerCache, n_shards: int
         vqt_scale=split_t(cache.vqt_scale, 3),
         comp_len=local_comp,
         resid_len=cache.resid_len * is_last,
+        prefill_len=jnp.clip(cache.prefill_len - shard_ids * ls, 0, ls),
     )
 
 

@@ -81,7 +81,7 @@ def cache_pspecs(stacked: bool = True) -> LayerCache:
         vpt=ps(None, None, None), vqt=ps(None, None),
         kpt_scale=ps(None, None), kqt_scale=ps(None, None),
         vpt_scale=ps(None, None), vqt_scale=ps(None, None),
-        comp_len=scalar, resid_len=scalar,
+        comp_len=scalar, resid_len=scalar, prefill_len=scalar,
     )
 
 

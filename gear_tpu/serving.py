@@ -376,6 +376,7 @@ class PagedServingEngine:
                                  -1, jnp.int32),
             comp_len=jnp.zeros((n_slots,), jnp.int32),
             resid_len=jnp.ones((n_slots,), jnp.int32),  # 1 zero-token: no NaN
+            prefill_len=jnp.zeros((n_slots,), jnp.int32),
             k_resid=jnp.zeros((L, n_slots, h, g, d), self.spec.dtype),
             v_resid=jnp.zeros((L, n_slots, h, g, d), self.spec.dtype),
         )
@@ -476,6 +477,8 @@ class PagedServingEngine:
             block_table=self.seqs.block_table.at[slot].set(jnp.asarray(row)),
             comp_len=self.seqs.comp_len.at[slot].set(comp0),
             resid_len=self.seqs.resid_len.at[slot].set(resid0),
+            prefill_len=self.seqs.prefill_len.at[slot].set(
+                int(np.asarray(caches1.prefill_len)[0])),
             k_resid=self.seqs.k_resid.at[:, slot].set(caches1.k_resid[:, 0]),
             v_resid=self.seqs.v_resid.at[:, slot].set(caches1.v_resid[:, 0]),
         )
@@ -617,6 +620,7 @@ class PagedServingEngine:
                 jnp.full((self.pspec.max_pages_per_seq,), -1, jnp.int32)),
             comp_len=self.seqs.comp_len.at[slot].set(0),
             resid_len=self.seqs.resid_len.at[slot].set(1),
+            prefill_len=self.seqs.prefill_len.at[slot].set(0),
             k_resid=self.seqs.k_resid.at[:, slot].set(0),
             v_resid=self.seqs.v_resid.at[:, slot].set(0),
         )

@@ -29,13 +29,14 @@ def watchdog(seconds):
 
 
 HEADS = int(sys.argv[sys.argv.index("--heads") + 1]) if "--heads" in sys.argv else 8
+WD = int(sys.argv[sys.argv.index("--watchdog") + 1]) if "--watchdog" in sys.argv else 560
 CTX = 8192
 D = 128
 N = 200
 
 
 def main():
-    watchdog(560)
+    watchdog(WD)
     from gear_tpu import cache as C
     from gear_tpu.kernels import decode as K
     from gear_tpu.models import llama as L
@@ -108,6 +109,27 @@ def main():
             bench(name,
                   lambda st, x: K.attend_paged(pspec, st[0], st[1], x),
                   (pool, seqs), q, comp_bytes)
+        elif name.startswith("gear"):
+            # gear<cb>[:bits] — full GEAR recipe: canonical 2% outliers +
+            # int8 bases + v_group=D (INT2 canonical unless :4)
+            spec_s = name[4:] or "16"
+            gbits = 2
+            if ":" in spec_s:
+                spec_s, b_s = spec_s.split(":", 1)
+                gbits = int(b_s)
+            cbg = int(spec_s)
+            gspec = C.CacheSpec(
+                batch=1, num_kv_heads=HEADS, head_dim=D, max_len=CTX,
+                bits=gbits, group=64, rank=2, prefill_rank=4,
+                lowrank_loop=3, base_bits=8, outliers_per_block=164,
+                v_group_size=D, dtype=jnp.bfloat16,
+                sideband_dtype=jnp.bfloat16)
+            gcache = C.prefill(gspec, k, v)
+            np.asarray(gcache.comp_len)
+            bench(name,
+                  lambda c, x, cb=cbg: K.attend_fused(
+                      gspec, c, x, blocks_per_chunk=cb),
+                  gcache, q, gspec.bytes_compressed())
         elif name.startswith("fused"):
             # fused<cb>[:abl1+abl2]  e.g. fused32:nolr+nov
             spec_s = name[5:]

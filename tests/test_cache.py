@@ -337,7 +337,10 @@ class TestOutliers:
         # implicit; with planted outliers GEAR must differ from GEARL
         assert not np.allclose(outs[0], outs[164])
 
-    def test_fused_kernel_falls_back_with_outliers(self, rng):
+    def test_fused_kernel_handles_outliers(self, rng):
+        """Outliers keep the Pallas fast path (no XLA fallback): the fused
+        kernel folds the COO deltas in-kernel and matches the XLA restore
+        path within the usual bf16 kernel tolerance."""
         import numpy as np, jax.numpy as jnp
         from gear_tpu.kernels import decode as K
         spec = self._spec(outliers_per_block=16)
@@ -346,5 +349,6 @@ class TestOutliers:
         cache = C.prefill(spec, kj, kj)
         q = jnp.asarray(rng.standard_normal((1, 4, 1, 128)).astype(np.float32))
         want = C.attend(spec, cache, q)
-        got = K.attend_fused(spec, cache, q, interpret=True)  # -> XLA path
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        got = K.attend_fused(spec, cache, q, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=8e-3)

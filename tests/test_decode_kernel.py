@@ -118,3 +118,48 @@ def test_kernel_int8_bases(rng):
     got = K.attend_fused(spec, cache, q, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=8e-3)
+
+
+@pytest.mark.parametrize("bits,ko", [(4, 32), (2, 64)])
+def test_kernel_coo_outliers(rng, bits, ko):
+    """Full GEAR recipe in-kernel: quant + low-rank + COO outlier deltas.
+
+    The reference's fused CUDA path never implemented its outlier slots
+    (modeling_llamagear.py:458-466); here they ride the kernel as one-hot
+    gather/scatter dots and must match the XLA restore path."""
+    spec = mk_spec(bits=bits, outliers_per_block=ko)
+    shape = (spec.batch, spec.num_kv_heads, 256, spec.head_dim)
+    k = rng.standard_normal(shape).astype(np.float32)
+    v = rng.standard_normal(shape).astype(np.float32)
+    # heavy tails so outliers carry real signal
+    k += 8.0 * rng.standard_normal(shape).astype(np.float32) * (
+        rng.random(shape) < 0.01)
+    v += 8.0 * rng.standard_normal(shape).astype(np.float32) * (
+        rng.random(shape) < 0.01)
+    cache = C.prefill(spec, jnp.asarray(k), jnp.asarray(v))
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 4, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+
+
+def test_kernel_outliers_with_residual_and_flush(rng):
+    """Outlier path across a decode flush + non-empty residual tier."""
+    spec = mk_spec(outliers_per_block=32, dtype=jnp.bfloat16,
+                   sideband_dtype=jnp.bfloat16)
+    cache = rand_cache(rng, spec, 150)  # 128 compressed + 22 residual
+    key = jax.random.PRNGKey(3)
+    for i in range(50):  # crosses one flush boundary (resid 22 -> 64 -> 8)
+        kn = jax.random.normal(jax.random.fold_in(key, 2 * i),
+                               (spec.batch, spec.num_kv_heads, 1,
+                                spec.head_dim))
+        cache = C.append(spec, cache, kn, kn * 0.5 + 1.0)
+    assert int(cache.comp_len) == 192
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=1.5e-2)

@@ -40,3 +40,26 @@ def test_quant_pack_channels_matches_xla(rng, bits):
         np.asarray(jnp.swapaxes(packed_ref[0, 0], -1, -2)))
     np.testing.assert_allclose(
         np.asarray(scale)[:, 0], np.asarray(scale_ref[0, 0]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("ko", [0, 32])
+def test_pk_compress_paths_match_xla(rng, ko):
+    """The pack-kernel-backed block compressors (used by cache.prefill on
+    TPU) must be bit-identical to the XLA compressors, outlier deltas
+    included."""
+    from gear_tpu import cache as C
+    spec = C.CacheSpec(batch=1, num_kv_heads=2, head_dim=128, max_len=256,
+                       bits=4, group=64, rank=2, prefill_rank=4,
+                       dtype=jnp.bfloat16, sideband_dtype=jnp.bfloat16,
+                       outliers_per_block=ko)
+    shape = (1, 2, 256, 128)
+    x = rng.standard_normal(shape).astype(np.float32)
+    x += 8.0 * rng.standard_normal(shape).astype(np.float32) * (
+        rng.random(shape) < 0.01)
+    xj = jnp.asarray(x)
+    for xla_fn, pk_fn in ((C._compress_k_block, C._compress_k_block_pk),
+                          (C._compress_v_block, C._compress_v_block_pk)):
+        want = xla_fn(spec, xj)
+        got = pk_fn(spec, xj, interpret=True)
+        for w, g_ in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g_))

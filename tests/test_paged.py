@@ -161,3 +161,68 @@ def test_paged_kernel_matches_dense_attend(rng):
         np.testing.assert_allclose(
             np.asarray(got[row:row + 1]), np.asarray(want),
             rtol=2e-2, atol=8e-3)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(base_bits=8),
+    dict(outliers_per_block=32),
+    dict(base_bits=8, outliers_per_block=32, bits=2),
+])
+def test_paged_kernel_int8_bases_and_outliers(rng, kw):
+    """Paged-pool parity for int8 low-rank bases and COO outliers (the
+    former NotImplementedError configs): pool round-trips through prefill +
+    decode appends (with a flush), and the paged Pallas kernel matches XLA
+    attend over the gathered dense view."""
+    from gear_tpu.kernels import decode as K
+    pspec = mk(n_pages=8, page_blocks=2, max_len=512,
+               dtype=jnp.bfloat16, sideband_dtype=jnp.bfloat16, **kw)
+    spec = pspec.spec
+    pool = P.init_pool(pspec)
+    seqs = P.init_seqs(pspec, batch=2)
+    al = P.PageAllocator(pspec.n_pages)
+
+    lens = [256 + 9, 128]
+    for row, s in enumerate(lens):
+        shape = (1, spec.num_kv_heads, s, spec.head_dim)
+        k = rng.standard_normal(shape).astype(np.float32)
+        v = rng.standard_normal(shape).astype(np.float32)
+        k += 8.0 * rng.standard_normal(shape).astype(np.float32) * (
+            rng.random(shape) < 0.01)
+        npages = (s // spec.group + pspec.page_blocks - 1) // pspec.page_blocks
+        ids = [al.alloc() for _ in range(npages + 1)]  # headroom for flushes
+        pool, seqs = P.prefill_paged(pspec, pool, seqs, row,
+                                     ids[:max(npages, 1)],
+                                     jnp.asarray(k), jnp.asarray(v),
+                                     key=jax.random.PRNGKey(row))
+        # preallocate the next page for row 0's upcoming flush
+        blk = int(seqs.comp_len[row]) // spec.group
+        tail = blk // pspec.page_blocks
+        if int(seqs.block_table[row, tail]) < 0:
+            seqs = seqs.replace(block_table=seqs.block_table.at[
+                row, tail].set(ids[-1]))
+
+    # decode appends across a flush boundary for row 0 (resid 9 -> 64 -> 0)
+    key = jax.random.PRNGKey(7)
+    for i in range(60):
+        kn = jax.random.normal(jax.random.fold_in(key, 2 * i),
+                               (2, spec.num_kv_heads, 1, spec.head_dim))
+        pool, seqs = P.append_paged(pspec, pool, seqs, kn, kn * 0.3 + 0.5,
+                                    key=jax.random.PRNGKey(9))
+        # keep tail pages allocated as sequences grow
+        for row in range(2):
+            blk = int(seqs.comp_len[row]) // spec.group
+            tail = blk // pspec.page_blocks
+            if int(seqs.block_table[row, tail]) < 0:
+                seqs = seqs.replace(block_table=seqs.block_table.at[
+                    row, tail].set(al.alloc()))
+
+    q = jnp.asarray(rng.standard_normal(
+        (2, 4, 1, spec.head_dim)).astype(np.float32))
+    got = K.attend_paged(pspec, pool, seqs, q, interpret=True)
+
+    for row in range(2):
+        dense = P.gather_dense(pspec, pool, seqs, row)
+        want = C.attend(spec, dense, q[row:row + 1])
+        np.testing.assert_allclose(
+            np.asarray(got[row:row + 1]), np.asarray(want),
+            rtol=3e-2, atol=1.5e-2)
