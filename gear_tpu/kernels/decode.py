@@ -1,33 +1,45 @@
-"""Pallas TPU kernel: fused compressed-KV decode attention (v6).
+"""Pallas TPU kernel: fused compressed-KV decode attention (v18).
 
 Replaces the reference's CUDA ``bgemv4/bgemv2_kernel_outer_dim``
 (cuda_supported_gear/quant/csrc/gemv_cuda.cu:264-434) and its out-of-kernel
 low-rank correction (modeling_llamagear.py:54-111) with ONE kernel that
-streams the packed int32 codes from HBM and, per chunk in VMEM:
+streams the packed int32 codes from HBM and computes the full GEAR recipe
+(dequant + low-rank error + COO outliers + residual tier) in one pass.
 
-  unpack (full-lane shifts) -> QK^T as per-block dots with the per-block K
-  scale FOLDED INTO q (mins fold into score space as ``q . mn``; no
-  dequantized K tile) -> in-kernel low-rank score correction (tiny per-rank
-  ``q @ P`` dots + lane-broadcast expansion) -> online softmax -> PV against
-  the packed V codes with the per-token V scale/min FOLDED INTO the
-  attention weights (no dequantized V tensor either) -> low-rank PV
-  correction (VPU block sums) -> at the last chunk, the fp residual tier
-  and the final softmax normalization, emitting the finished output.
+v18 design rule — EVERYTHING IN SCORE SPACE. The kernel's work per chunk is
+bounded by the shapes of its intermediates: any fold that materializes a
+[D, CHUNK] tile costs a 128-row MXU pass (~8-16x the cost of the actual
+[GQ<=8, .] attention GEMVs) or an equivalent VPU sweep. The v17 design
+(pre-dot dequantized K/V tiles) paid that for scale, mn, low-rank AND
+outliers on both tensors — measured 1.6-3.4x slower than the bf16 flash
+baseline despite reading 2.6-8x fewer bytes. v18 keeps every fold in
+[GQ, .] or [., small] shapes:
 
-Design rule learned from scripts/gemv_probe.py on v5e: decode-GEMV is bound
-by the MXU weight port (~128 weight elements/cycle regardless of dtype and
-M<=128), so the kernel moves EXACTLY 2*D*chunk weight elements per chunk
-(the K and V code tiles) through the MXU and nothing else — every
-scale/min/low-rank expansion runs on the VPU or as a tiny-weight dot.
+  K scores   s[gq,t] = sum_d (q*scale_c)[d]*code[d,t]   per-block GQ-row dots
+           + (q . mn_c)                                  one [GQ,CB] dot
+           + (q . P_c) . Q[:,t]                          dual-region low-rank
+           + q[d_o] * delta_o at t_o                     per-block one-hot dots
+  PV         pv[gq,d] = sum_t (p*vscale)[t]*code[d,t]    GQ-row dots
+           + (p . vmn) per d-group + dual-region low-rank + outliers, same.
+
+Dual-region low-rank: all prefill blocks share ONE P factor (replicated in
+the cache, gear_tpu.cache.prefill), so chunks fully inside the prefill
+region need a single [GQ,R]x[R,CHUNK] dot with q.P0 computed from the
+chunk's first block; only chunks touching decode-flushed blocks (at most
+the tail beyond ``prefill_len``) take the per-block path (lax.cond).
+
+int8 low-rank bases (base_bits=8, reference true_poweriteration_quantized,
+old_models/CompressUtils/TrueCompressFunction.py:166-207) are read DIRECTLY
+by the kernel and dequantized in VMEM against their per-(block, rank)
+scales — no bf16 base materialization in HBM per step.
 
 Layout (see gear_tpu.cache): K and V codes are bit-packed along the head
 dim and stored word-major TRANSPOSED ([D/fpi, T] int32, time in lanes) — the
-packing dim is decoupled from the quantization-grouping dim, so unpack is
-full-lane shifts + a sublane concat producing channel-major [D, chunk]
-tiles. K scales per (time-block, channel) [NB, D] fold into q per block; V
-scales per (token, d-group) [NGV, T] fold into the attention weights. All
-matmuls run in bf16 with f32 accumulation (codes <= 255 are exact in bf16).
-Low-rank factors are stored transposed: kqt/vqt [R, T], kpt/vpt [NB, R, D].
+packing dim is decoupled from the quantization-group dim, so unpack is
+full-lane shifts + sublane-expanding int8 bitcasts. K scales per
+(time-block, channel) [NB, D]; V scales per (token, d-group) [NGV, T].
+Low-rank factors transposed: kqt/vqt [R, T]; kpt/vpt [NB, R, D]. All
+matmuls run in bf16 with f32 accumulation (codes <= 255 exact in bf16).
 
 Mosaic pitfalls observed on v5e and respected here: no bf16 broadcasts of
 1-row slices (row-broadcast multiplies run in f32); no bf16 minor-dim-insert
@@ -101,15 +113,6 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _dotb(a, b, dims):
-    """Dot rounded to bf16 — for the exact one-hot selector/expander folds
-    into the dequant tiles (Mosaic requires a 32-bit matmul accumulator;
-    the round is a separate pre-dot VPU op that pipelines away)."""
-    return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               preferred_element_type=jnp.float32
-                               ).astype(jnp.bfloat16)
-
-
 def _dot_f32(a, b, dims):
     """True-f32 dot. On TPU, f32 matmuls at DEFAULT precision are a single
     bf16 MXU pass — for the mn folds that single rounded value is a
@@ -128,55 +131,65 @@ def _b(ref, nd):
 
 def _decode_kernel(
     # scalar prefetch
-    lens_ref,          # int32 [NSEQ, 2] = per-sequence (comp_len, resid_len)
+    lens_ref,          # int32 [NSEQ, 3] = (comp_len, resid_len, prefill_len)
     pad_start_ref,     # int32 [BH]
-    # then, positionally (VMEM blocks; paged pool blocks carry an extra
-    # leading 1):
-    #   q_ref,        [1, GQ, D]        f32 (sm_scale folded in)
-    #   kpt_ref,      [1, CB, R, D]     bf16 (K low-rank P factor, transposed)
-    #   kcodes_ref,   [1, WD, CHUNK]    int32  (WD = D // fpi)
-    #   kscale_ref,   [1, CB, D]        sideband dtype
-    #   kmn_ref,      [1, CB, D]
-    #   kqt_ref,      [1, R, CHUNK]     bf16
-    #   vcodes_ref,   [1, WD, CHUNK]    int32
-    #   vscale_ref,   [1, NGV, CHUNK]
-    #   vmn_ref,      [1, NGV, CHUNK]
-    #   vqt_ref,      [1, R, CHUNK]     bf16
-    #   vpt_ref,      [1, CB, R, D]     bf16
-    #   kresid_ref,   [1, G, D]         cache dtype
-    #   vresid_ref,   [1, G, D]
+    # then, positionally (VMEM blocks; HB = heads_per_step heads batched per
+    # grid step on the dense path; paged pool blocks instead carry two
+    # leading singleton dims):
+    #   q_ref,        [HB, GQ, D]       f32 (sm_scale folded in)
+    #   kpt_ref,      [HB, CB, R, D]    bf16|int8 (K low-rank P, transposed)
+    #   kcodes_ref,   [HB, WD, CHUNK]   int32  (WD = D // fpi)
+    #   kscale_ref,   [HB, CB, D]       sideband dtype
+    #   kmn_ref,      [HB, CB, D]
+    #   kqt_ref,      [HB, R, CHUNK]    bf16|int8
+    #   vcodes_ref,   [HB, WD, CHUNK]   int32
+    #   vscale_ref,   [HB, NGV, CHUNK]
+    #   vmn_ref,      [HB, NGV, CHUNK]
+    #   vqt_ref,      [HB, R, CHUNK]    bf16|int8
+    #   vpt_ref,      [HB, CB, R, D]    bf16|int8
+    #   kresid_ref,   [HB, G, D]        cache dtype
+    #   vresid_ref,   [HB, G, D]
+    #   [if base8: kpts_ref/kqts_ref/vqts_ref/vpts_ref — f32 [HB, R, CB]
+    #    per-(rank, block) base scales (P scales pre-transposed to [R, NB])]
     #   [if ko: koi_ref, kov_ref, voi_ref, vov_ref — COO outlier deltas,
-    #    idx packed 2x16-bit/int32 [1, KO//2, NB], values [1, KO, NB]
-    #    (dense; lanes sliced per chunk) or [1, 1, KO(/2), PB] (paged)]
-    #   out_ref,      [1, GQ, D]   f32  (final normalized attention output)
-    #   acc_ref, m_ref, l_ref  (VMEM scratch)
+    #    idx packed 2x16-bit/int32 [HB, NB, KO//2], values [HB, NB, KO]
+    #    (dense; sublanes sliced per chunk) or [1, 1, CB, KO(/2)] (paged)]
+    #   out_ref,      [HB, GQ, D]  f32  (final normalized attention output)
+    #   acc_ref, m_ref, l_ref  (VMEM scratch, [HB*GQ, .])
     *args,
     bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    hkv: int = 1, ko: int = 0, interpret: bool = False,
+    hkv: int = 1, ko: int = 0, base8: bool = False, use_lr: bool = True,
+    dual_region: bool = True, hb: int = 1, interpret: bool = False,
     ablate: frozenset = frozenset(),
 ):
-    if ko:
-        (q_ref, kpt_ref, kcodes_ref, kscale_ref, kmn_ref, kqt_ref,
-         vcodes_ref, vscale_ref, vmn_ref, vqt_ref, vpt_ref,
-         kresid_ref, vresid_ref,
-         koi_ref, kov_ref, voi_ref, vov_ref,
-         out_ref, acc_ref, m_ref, l_ref) = args
+    n_base = 13
+    (q_ref, kpt_ref, kcodes_ref, kscale_ref, kmn_ref, kqt_ref,
+     vcodes_ref, vscale_ref, vmn_ref, vqt_ref, vpt_ref,
+     kresid_ref, vresid_ref) = args[:n_base]
+    pos = n_base
+    if base8:
+        kpts_ref, kqts_ref, vqts_ref, vpts_ref = args[pos:pos + 4]
+        pos += 4
     else:
-        (q_ref, kpt_ref, kcodes_ref, kscale_ref, kmn_ref, kqt_ref,
-         vcodes_ref, vscale_ref, vmn_ref, vqt_ref, vpt_ref,
-         kresid_ref, vresid_ref,
-         out_ref, acc_ref, m_ref, l_ref) = args
+        kpts_ref = kqts_ref = vqts_ref = vpts_ref = None
+    if ko:
+        koi_ref, kov_ref, voi_ref, vov_ref = args[pos:pos + 4]
+        pos += 4
+    else:
         koi_ref = kov_ref = voi_ref = vov_ref = None
-    bh = pl.program_id(0)
+    out_ref, acc_ref, m_ref, l_ref = args[pos:pos + 4]
+
     nc = pl.program_id(1)
     cb = blocks_per_chunk
     g = group
     chunk = cb * g
     bf = jnp.bfloat16
     f32 = jnp.float32
-    gq, d = q_ref.shape[1], q_ref.shape[2]
+    gq, d = q_ref.shape[-2], q_ref.shape[-1]
     r = kqt_ref.shape[-2]
     ngv = d // v_group
+    use_lr = use_lr and r > 0 and "nolr" not in ablate
+    use_mn = "nomn" not in ablate
 
     def _split_oidx(oidx):
         """Flat block index [CB, KO] -> (t_local, d) int32 tiles."""
@@ -186,220 +199,285 @@ def _decode_kernel(
             t_loc = oidx // d
         return t_loc, oidx - t_loc * d
 
-    def _ochunk(oref, vref):
-        """Outlier idx/val tiles for THIS chunk: [CB, KO] each.
-
-        Block-major storage: this chunk's blocks are a SUBLANE slice (lane
-        slices would need 128-aligned starts). idx arrives packed
-        two-16-bit-per-int32 ([., KO//2]); unpacking is one mask + one
-        logical shift + a lane concat (order-preserving: word j holds
-        entries j and j + KO/2)."""
-        if vref.shape[-2] != cb:  # dense layout: rows cover all NB blocks
-            lead = (0,) * (len(oref.shape) - 2)
-            oi = oref[lead + (pl.ds(nc * cb, cb), slice(None))]
-            ov = vref[lead + (pl.ds(nc * cb, cb), slice(None))]
-        else:
-            oi = _b(oref, 2)
-            ov = _b(vref, 2)
-        lo = oi & jnp.int32(0xFFFF)
-        hi = pltpu.bitcast(
-            jax.lax.shift_right_logical(pltpu.bitcast(oi, jnp.uint32),
-                                        jnp.uint32(16)), jnp.int32)
-        return jnp.concatenate([lo, hi], axis=1), ov.astype(f32)
-
     @pl.when(nc == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, MASK_VAL)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    comp_len = lens_ref[bh // hkv, 0]
+    def _head(h):
+        """Emit one batched head's chunk (and finalize) work. ``h`` indexes
+        the leading HB dim of the dense blocks (paged blocks: HB == 1 and
+        two leading singletons — ``sl`` strips either form)."""
+        bh = pl.program_id(0) * hb + h
 
-    def _chunk():
-        if "nok" in ablate:  # profiling aid: IO/launch floor (no K scores)
-            _chunk_nok()
-            return
-        q = q_ref[0].astype(bf)                             # [GQ, D]
-        use_lr = r > 0 and "nolr" not in ablate
-        use_mn = "nomn" not in ablate
+        def sl(ref, nd):
+            lead = len(ref.shape) - nd
+            return ref[(h,) + (0,) * (lead - 1)] if lead else ref[...]
 
-        # ---- dequantized K tile in VMEM — everything PRE-dot -------------
-        # v17 design (profiling table in docs/STATUS.md): any full-size op
-        # placed AFTER a score dot serializes with the online-softmax
-        # recurrence across chunks (~0.1-0.3us per op per grid step); work
-        # placed BEFORE the dot pipelines with the previous chunk's softmax
-        # and the next chunk's DMA. So the kernel materializes
-        # kdeq [D, CHUNK] bf16 = codes * scale + mn + low-rank correction
-        # + COO outlier deltas entirely pre-dot: the scale/mn expansions
-        # are one-hot selector matmuls (exact; no Mosaic bf16 row-broadcast
-        # pitfalls), the low-rank term is one [CB*R, D]x[CB*R, CHUNK]
-        # contraction against block-masked kqt rows, and outliers are
-        # per-block one-hot pair dots. Each fold costs one bf16 rounding
-        # per K element — the same rounding class as the bf16 flash
-        # baseline's K/V tiles. The score dot is then a single
-        # [GQ, D] x [D, CHUNK] pass and the post-dot chain is flash-minimal
-        # (mask -> softmax -> accumulate).
-        if "noshift" in ablate:                 # profiling aid: skip unpack
-            w = _b(kcodes_ref, 2)
-            vpb = 8 // bits if bits != 8 else 1
-            part = jnp.concatenate(
-                [w] * (d // vpb // w.shape[0]), axis=0).astype(bf)
-            kparts = [part] * vpb
-        else:
-            kparts = _unpack_parts_bf16(_b(kcodes_ref, 2), bits,
-                                        interpret=interpret)
-        kcat = (jnp.concatenate(kparts, axis=0)
-                if len(kparts) > 1 else kparts[0])          # [D, CHUNK]
-        # block selector: esel[c, t] = (t // g == c)
-        esel = (jax.lax.broadcasted_iota(jnp.int32, (cb, chunk), 0)
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (cb, chunk), 1) // g).astype(bf)
-        scale_rep = _dotb(_b(kscale_ref, 2).astype(bf), esel,
-                          (((0,), (0,))))                   # [D, CHUNK] bf16
-        kdeq = kcat * scale_rep
-        if use_mn:
-            kdeq = kdeq + _dotb(_b(kmn_ref, 2).astype(bf), esel,
-                                (((0,), (0,))))
-        kqt = _b(kqt_ref, 2)                                # [R, CHUNK] bf16
-        if use_lr:
-            # K_corr[d, t] = sum_r kpt[c(t), r, d] * kqt[r, t]: contract the
-            # (block, rank) axis of the P factors against block-masked,
-            # rank-tiled kqt rows.
-            kptflat = _b(kpt_ref, 3).reshape(cb * r, d)     # [CB*R, D]
-            wlr = jnp.broadcast_to(
-                kqt[None], (cb, r, chunk)).reshape(cb * r, chunk)
-            lrsel = (jax.lax.broadcasted_iota(
-                         jnp.int32, (cb * r, chunk), 0) // r
-                     == jax.lax.broadcasted_iota(
-                         jnp.int32, (cb * r, chunk), 1) // g)
-            wlr = jnp.where(lrsel, wlr, 0)                  # [CB*R, CHUNK]
-            kdeq = kdeq + _dotb(kptflat, wlr, (((0,), (0,))))
-        # COO outlier deltas: kdeq[d_o, t_o] += delta_o, scatter-free — per
-        # block a one-hot d-gather x one-hot t-scatter pair dot. Replaces
-        # the reference's never-implemented fused outlier slots
-        # (modeling_llamagear.py:458-466).
-        if ko:
-            koi, kov = _ochunk(koi_ref, kov_ref)            # [CB, KO]
-            kt_loc, kd_col = _split_oidx(koi)
-            iota_kd = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
-            iota_kg = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
-            dk_parts = []
-            for c in range(cb):
-                gd = jnp.where(kd_col[c:c + 1, :] == iota_kd,
-                               kov[c:c + 1, :], 0.0).astype(bf)   # [D, KO]
-                wt = (kt_loc[c:c + 1, :] == iota_kg).astype(bf)   # [g, KO]
-                dk_parts.append(_dotb(gd, wt, (((1,), (1,)))))    # [D, g]
-            kdeq = kdeq + jnp.concatenate(dk_parts, axis=1)
+        def _ochunk(oref, vref):
+            """Outlier idx/val tiles for THIS chunk: [CB, KO] each.
 
-        s = _dot(q, kdeq, (((1,), (0,))))                   # [GQ, CHUNK] f32
+            Block-major storage: this chunk's blocks are a SUBLANE slice
+            (lane slices would need 128-aligned starts). idx arrives packed
+            two-16-bit-per-int32 ([., KO//2]); unpacking is one mask + one
+            logical shift + a lane concat (order-preserving: word j holds
+            entries j and j + KO/2)."""
+            if vref.shape[-2] != cb:  # dense layout: rows cover all NB
+                lead = len(oref.shape) - 2
+                pre = ((h,) + (0,) * (lead - 1))[:lead]
+                oi = oref[pre + (pl.ds(nc * cb, cb), slice(None))]
+                ov = vref[pre + (pl.ds(nc * cb, cb), slice(None))]
+            else:
+                oi = sl(oref, 2)
+                ov = sl(vref, 2)
+            lo = oi & jnp.int32(0xFFFF)
+            hi = pltpu.bitcast(
+                jax.lax.shift_right_logical(pltpu.bitcast(oi, jnp.uint32),
+                                            jnp.uint32(16)), jnp.int32)
+            return jnp.concatenate([lo, hi], axis=1), ov.astype(f32)
 
-        # ---- masking: padding prefix and beyond-comp_len tail -----------
-        if "nomask" not in ablate:  # profiling aid
-            pad0 = pad_start_ref[bh]
-            tok = nc * chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (gq, chunk), 1)
-            s = jnp.where((tok >= pad0) & (tok < comp_len), s, MASK_VAL)
+        def _deq_qt(qt_ref, qts_ref):
+            """Low-rank Q factor chunk [R, CHUNK] -> bf16 (int8 x per-block
+            scale when base8)."""
+            qt = sl(qt_ref, 2)
+            if not base8:
+                return qt.astype(bf)
+            qs = sl(qts_ref, 2)                              # [R, CB] f32
+            qs_rep = jnp.broadcast_to(
+                qs[:, :, None], (r, cb, g)).reshape(r, chunk)
+            return (qt.astype(f32) * qs_rep).astype(bf)
 
-        # ---- online softmax ---------------------------------------------
-        m_prev = m_ref[:, :1]                               # [GQ, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        if "noexp" in ablate:  # profiling aid: transcendental cost
-            alpha = (m_prev - m_new) * 0.01 + 1.0
-            p = jnp.where(s > MASK_VAL / 2, (s - m_new) * 0.01 + 1.0, 0.0)
-        else:
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new),
-                          0.0)                              # [GQ, CHUNK]
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        p_bf = p.astype(bf)
+        def _deq_p(pt_ref, pts_ref, c):
+            """Low-rank P factor for block c -> [R, D] bf16."""
+            p = sl(pt_ref, 3)[c].astype(f32)                 # [R, D]
+            if base8:
+                p = p * sl(pts_ref, 2)[:, c:c + 1]           # [R, 1] f32
+            return p.astype(bf)
 
-        # ---- PV against the dequantized V tile (same pre-dot scheme) ----
-        # vdeq [D, CHUNK] bf16 = codes * scale + mn + low-rank + outliers;
-        # per-(token, d-group) scale/mn rows expand via a one-hot selector
-        # dot (group i covers rows [i*v_group, (i+1)*v_group)).
-        if "nov" in ablate:                     # profiling aid: skip V side
-            pv = jnp.zeros((gq, d), f32)
-        else:
-            vparts = _unpack_parts_bf16(_b(vcodes_ref, 2), bits,
-                                        interpret=interpret)
-            vcat = (jnp.concatenate(vparts, axis=0)
-                    if len(vparts) > 1 else vparts[0])      # [D, CHUNK]
-            vgsel = (jax.lax.broadcasted_iota(jnp.int32, (ngv, d), 0)
-                     == jax.lax.broadcasted_iota(
-                         jnp.int32, (ngv, d), 1) // v_group).astype(bf)
-            vs_rep = _dotb(vgsel, _b(vscale_ref, 2).astype(bf),
-                           (((0,), (0,))))                  # [D, CHUNK]
-            vdeq = vcat * vs_rep
+        comp_len = lens_ref[bh // hkv, 0]
+        prefill_len = lens_ref[bh // hkv, 2]
+        rows = slice(h * gq, (h + 1) * gq)
+
+        def _chunk():
+            if "nok" in ablate:  # profiling aid: IO/launch floor
+                _chunk_nok()
+                return
+            q32 = sl(q_ref, 2)                               # [GQ, D] f32
+            q_bf = q32.astype(bf)
+
+            # ---- unpacked K codes (bf16, channel-major) ------------------
+            if "noshift" in ablate:             # profiling aid: skip unpack
+                w = sl(kcodes_ref, 2)
+                vpb = 8 // bits if bits != 8 else 1
+                part = jnp.concatenate(
+                    [w] * (d // vpb // w.shape[0]), axis=0).astype(bf)
+                kparts = [part] * vpb
+            else:
+                kparts = _unpack_parts_bf16(sl(kcodes_ref, 2), bits,
+                                            interpret=interpret)
+            kcat = (jnp.concatenate(kparts, axis=0)
+                    if len(kparts) > 1 else kparts[0])       # [D, CHUNK]
+
+            # ---- score pieces per block: scale folds into q --------------
+            kscale = sl(kscale_ref, 2).astype(f32)           # [CB, D]
             if use_mn:
-                vdeq = vdeq + _dotb(vgsel, _b(vmn_ref, 2).astype(bf),
-                                    (((0,), (0,))))
-            vqt = _b(vqt_ref, 2)                            # [R, CHUNK] bf16
-            if use_lr:
-                vptflat = _b(vpt_ref, 3).reshape(cb * r, d)  # [CB*R, D]
-                wvlr = jnp.broadcast_to(
-                    vqt[None], (cb, r, chunk)).reshape(cb * r, chunk)
-                wvlr = jnp.where(lrsel, wvlr, 0)
-                vdeq = vdeq + _dotb(vptflat, wvlr, (((0,), (0,))))
+                mnq = _dot_f32(q32, sl(kmn_ref, 2).astype(f32),
+                               (((1,), (1,))))               # [GQ, CB]
             if ko:
-                voi, vov = _ochunk(voi_ref, vov_ref)        # [CB, KO]
-                vt_loc, vd_col = _split_oidx(voi)
-                iota_vd = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
-                iota_vg = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
-                dv_parts = []
-                for c in range(cb):
-                    gd = jnp.where(vd_col[c:c + 1, :] == iota_vd,
-                                   vov[c:c + 1, :], 0.0).astype(bf)
-                    wt = (vt_loc[c:c + 1, :] == iota_vg).astype(bf)
-                    dv_parts.append(_dotb(gd, wt, (((1,), (1,)))))
-                vdeq = vdeq + jnp.concatenate(dv_parts, axis=1)
+                koi, kov = _ochunk(koi_ref, kov_ref)         # [CB, KO]
+                kt_loc, kd_col = _split_oidx(koi)
+                iota_dko = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
+                iota_gko = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
+            pieces = []
+            for c in range(cb):
+                qs = (q32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
+                sc = _dot(qs, kcat[:, c * g:(c + 1) * g],
+                          (((1,), (0,))))                    # [GQ, g] f32
+                if use_mn:
+                    sc = sc + mnq[:, c:c + 1]
+                if ko:
+                    # q gathered at the outlier channels (one-hot dot),
+                    # folded with the stored deltas, scattered to the
+                    # outlier tokens. Replaces the reference's never-
+                    # implemented fused outlier slots
+                    # (modeling_llamagear.py:458-466).
+                    oh_d = (kd_col[c:c + 1, :] == iota_dko).astype(bf)
+                    qg = _dot(q_bf, oh_d, (((1,), (0,))))    # [GQ, KO] f32
+                    qgv = (qg * kov[c:c + 1, :]).astype(bf)
+                    wt = (kt_loc[c:c + 1, :] == iota_gko).astype(bf)
+                    sc = sc + _dot(qgv, wt, (((1,), (1,))))  # [GQ, g]
+                pieces.append(sc)
+            s = jnp.concatenate(pieces, axis=1)              # [GQ, CHUNK]
 
-            pv = _dot(p_bf, vdeq, (((1,), (1,))))           # [GQ, D] f32
+            # ---- dual-region low-rank score correction -------------------
+            if use_lr:
+                kqt_bf = _deq_qt(kqt_ref, kqts_ref)          # [R, CHUNK] bf
 
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+                def _lr_fast(_):
+                    # whole chunk inside the prefill region: ONE shared P
+                    qp0 = _dot(q_bf, _deq_p(kpt_ref, kpts_ref, 0),
+                               (((1,), (1,))))               # [GQ, R] f32
+                    return _dot(qp0.astype(bf), kqt_bf, (((1,), (0,))))
 
-    def _chunk_nok():
-        # touch each input tile once; no matmuls, no softmax chain — the
-        # residual cost is block DMA + grid-step launch overhead.
-        touch = (jnp.sum(_b(kcodes_ref, 2)[:1, :1])
-                 + jnp.sum(_b(vcodes_ref, 2)[:1, :1])).astype(f32)
-        acc_ref[:] = acc_ref[:] + touch
-        m_ref[:] = jnp.maximum(m_ref[:], 0.0)
-        l_ref[:] = l_ref[:] + 1.0
+                def _lr_slow(_):
+                    ps = []
+                    for c in range(cb):
+                        qpc = _dot(q_bf, _deq_p(kpt_ref, kpts_ref, c),
+                                   (((1,), (1,))))           # [GQ, R]
+                        ps.append(_dot(qpc.astype(bf),
+                                       kqt_bf[:, c * g:(c + 1) * g],
+                                       (((1,), (0,)))))
+                    return jnp.concatenate(ps, axis=1)
 
-    if "nopred" in ablate:  # profiling aid: unconditional chunk execution
-        _chunk()
-    else:
-        pl.when(nc * chunk < comp_len)(_chunk)
+                if dual_region:
+                    s_lr = jax.lax.cond((nc + 1) * chunk <= prefill_len,
+                                        _lr_fast, _lr_slow, 0)
+                else:
+                    s_lr = _lr_slow(0)
+                s = s + s_lr
 
-    @pl.when(nc == pl.num_programs(1) - 1)
-    def _finalize():
-        # Residual (uncompressed) tier + final normalization, in-kernel.
-        resid_len = lens_ref[bh // hkv, 1]
-        q = q_ref[0].astype(bf)
-        kr = _b(kresid_ref, 2).astype(bf)                   # [G, D]
-        sr = _dot(q, kr, (((1,), (1,))))                    # [GQ, G] f32
-        rcol = jax.lax.broadcasted_iota(jnp.int32, (gq, g), 1)
-        sr = jnp.where(rcol < resid_len, sr, MASK_VAL)
+            # ---- masking: padding prefix and beyond-comp_len tail --------
+            if "nomask" not in ablate:  # profiling aid
+                pad0 = pad_start_ref[bh]
+                tok = nc * chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (gq, chunk), 1)
+                s = jnp.where((tok >= pad0) & (tok < comp_len), s, MASK_VAL)
 
-        m_prev = m_ref[:, :1]
-        m_cur = jnp.max(sr, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        pr = jnp.where(sr > MASK_VAL / 2, jnp.exp(sr - m_new), 0.0)
-        l_tot = l_ref[:, :1] * alpha + jnp.sum(pr, axis=-1, keepdims=True)
-        vr = _b(vresid_ref, 2).astype(bf)                   # [G, D]
-        pv_r = _dot(pr.astype(bf), vr, (((1,), (0,))))      # [GQ, D] f32
-        acc = acc_ref[:] * alpha + pv_r
-        out_ref[0] = acc / l_tot                            # [GQ, D] f32
+            # ---- online softmax ------------------------------------------
+            m_prev = m_ref[rows, :1]                         # [GQ, 1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            if "noexp" in ablate:  # profiling aid: transcendental cost
+                alpha = (m_prev - m_new) * 0.01 + 1.0
+                p = jnp.where(s > MASK_VAL / 2,
+                              (s - m_new) * 0.01 + 1.0, 0.0)
+            else:
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.where(s > MASK_VAL / 2, jnp.exp(s - m_new),
+                              0.0)                           # [GQ, CHUNK]
+            l_new = (l_ref[rows, :1] * alpha
+                     + jnp.sum(p, axis=-1, keepdims=True))
+            p_bf = p.astype(bf)
+
+            # ---- PV in weight space: V scale folds into p ----------------
+            if "nov" in ablate:                 # profiling aid: skip V side
+                pv = jnp.zeros((gq, d), f32)
+            else:
+                vparts = _unpack_parts_bf16(sl(vcodes_ref, 2), bits,
+                                            interpret=interpret)
+                vcat = (jnp.concatenate(vparts, axis=0)
+                        if len(vparts) > 1 else vparts[0])   # [D, CHUNK]
+                vscale = sl(vscale_ref, 2).astype(f32)       # [NGV, CHUNK]
+                pvs = []
+                for gv in range(ngv):
+                    pw = (p * vscale[gv:gv + 1, :]).astype(bf)
+                    pvs.append(_dot(pw,
+                                    vcat[gv * v_group:(gv + 1) * v_group, :],
+                                    (((1,), (1,)))))         # [GQ, v_group]
+                pv = jnp.concatenate(pvs, axis=1) if ngv > 1 else pvs[0]
+                if use_mn:
+                    mv = _dot_f32(p, sl(vmn_ref, 2).astype(f32),
+                                  (((1,), (1,))))            # [GQ, NGV]
+                    if ngv == 1:
+                        pv = pv + mv[:, :1]
+                    else:
+                        pv = pv + jnp.concatenate(
+                            [jnp.broadcast_to(mv[:, i:i + 1], (gq, v_group))
+                             for i in range(ngv)], axis=1)
+                if use_lr:
+                    vqt_bf = _deq_qt(vqt_ref, vqts_ref)      # [R, CHUNK] bf
+
+                    def _vlr_fast(_):
+                        u = _dot(p_bf, vqt_bf, (((1,), (1,))))   # [GQ, R]
+                        return _dot(u.astype(bf),
+                                    _deq_p(vpt_ref, vpts_ref, 0),
+                                    (((1,), (0,))))          # [GQ, D]
+
+                    def _vlr_slow(_):
+                        accv = jnp.zeros((gq, d), f32)
+                        for c in range(cb):
+                            u_c = _dot(p_bf[:, c * g:(c + 1) * g],
+                                       vqt_bf[:, c * g:(c + 1) * g],
+                                       (((1,), (1,))))       # [GQ, R]
+                            accv = accv + _dot(u_c.astype(bf),
+                                               _deq_p(vpt_ref, vpts_ref, c),
+                                               (((1,), (0,))))
+                        return accv
+
+                    if dual_region:
+                        pv = pv + jax.lax.cond(
+                            (nc + 1) * chunk <= prefill_len,
+                            _vlr_fast, _vlr_slow, 0)
+                    else:
+                        pv = pv + _vlr_slow(0)
+                if ko:
+                    voi, vov = _ochunk(voi_ref, vov_ref)     # [CB, KO]
+                    vt_loc, vd_col = _split_oidx(voi)
+                    iota_dko = jax.lax.broadcasted_iota(
+                        jnp.int32, (d, ko), 0)
+                    iota_gko = jax.lax.broadcasted_iota(
+                        jnp.int32, (g, ko), 0)
+                    for c in range(cb):
+                        wt = (vt_loc[c:c + 1, :] == iota_gko).astype(bf)
+                        pg = _dot(p_bf[:, c * g:(c + 1) * g], wt,
+                                  (((1,), (0,))))            # [GQ, KO] f32
+                        pgv = (pg * vov[c:c + 1, :]).astype(bf)
+                        oh_d = (vd_col[c:c + 1, :] == iota_dko).astype(bf)
+                        pv = pv + _dot(pgv, oh_d, (((1,), (1,))))
+
+            acc_ref[rows] = acc_ref[rows] * alpha + pv
+            m_ref[rows] = jnp.broadcast_to(m_new, (gq, m_ref.shape[1]))
+            l_ref[rows] = jnp.broadcast_to(l_new, (gq, l_ref.shape[1]))
+
+        def _chunk_nok():
+            # touch each input tile once; no matmuls, no softmax chain —
+            # the residual cost is block DMA + grid-step launch overhead.
+            touch = (jnp.sum(sl(kcodes_ref, 2)[:1, :1])
+                     + jnp.sum(sl(vcodes_ref, 2)[:1, :1])).astype(f32)
+            acc_ref[rows] = acc_ref[rows] + touch
+            m_ref[rows] = jnp.maximum(m_ref[rows], 0.0)
+            l_ref[rows] = l_ref[rows] + 1.0
+
+        if "nopred" in ablate:  # profiling aid: unconditional execution
+            _chunk()
+        else:
+            pl.when(nc * chunk < comp_len)(_chunk)
+
+        @pl.when(nc == pl.num_programs(1) - 1)
+        def _finalize():
+            # Residual (uncompressed) tier + final normalization, in-kernel.
+            resid_len = lens_ref[bh // hkv, 1]
+            q = sl(q_ref, 2).astype(jnp.bfloat16)
+            kr = sl(kresid_ref, 2).astype(jnp.bfloat16)      # [G, D]
+            sr = _dot(q, kr, (((1,), (1,))))                 # [GQ, G] f32
+            rcol = jax.lax.broadcasted_iota(jnp.int32, (gq, g), 1)
+            sr = jnp.where(rcol < resid_len, sr, MASK_VAL)
+
+            m_prev = m_ref[rows, :1]
+            m_cur = jnp.max(sr, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            pr = jnp.where(sr > MASK_VAL / 2, jnp.exp(sr - m_new), 0.0)
+            l_tot = (l_ref[rows, :1] * alpha
+                     + jnp.sum(pr, axis=-1, keepdims=True))
+            vr = sl(vresid_ref, 2).astype(jnp.bfloat16)      # [G, D]
+            pv_r = _dot(pr.astype(jnp.bfloat16), vr, (((1,), (0,))))
+            acc = acc_ref[rows] * alpha + pv_r
+            if hb == 1:
+                out_ref[(0,) * (len(out_ref.shape) - 2)] = acc / l_tot
+            else:
+                out_ref[h] = acc / l_tot                     # [GQ, D] f32
+
+    for h_i in range(hb):
+        _head(h_i)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "v_group", "blocks_per_chunk",
-                     "hkv", "interpret", "ablate"),
+                     "hkv", "base8", "use_lr", "dual_region",
+                     "heads_per_step", "interpret", "ablate"),
 )
 def decode_attention(
     lens: jax.Array,         # int32 [B, 3] per-seq (comp, resid, prefill)
@@ -417,8 +495,12 @@ def decode_attention(
     vpt: jax.Array,          # [BH, NB, R, D]
     k_resid: jax.Array,      # [BH, G, D]
     v_resid: jax.Array,      # [BH, G, D]
+    kpt_scale: jax.Array | None = None,   # f32 [BH, R, NB] (pre-transposed)
+    kqt_scale: jax.Array | None = None,   # f32 [BH, R, NB]
+    vqt_scale: jax.Array | None = None,   # f32 [BH, R, NB]
+    vpt_scale: jax.Array | None = None,   # f32 [BH, R, NB]
     k_out_idx: jax.Array | None = None,   # int32 [BH, NB, KO//2] (packed)
-    k_out_val: jax.Array | None = None,   # [BH, KO, NB] delta values
+    k_out_val: jax.Array | None = None,   # [BH, NB, KO] delta values
     v_out_idx: jax.Array | None = None,
     v_out_val: jax.Array | None = None,
     *,
@@ -427,6 +509,10 @@ def decode_attention(
     v_group: int,
     blocks_per_chunk: int = 16,
     hkv: int = 1,
+    base8: bool = False,
+    use_lr: bool = True,
+    dual_region: bool = True,
+    heads_per_step: int = 1,
     interpret: bool = False,
     ablate: frozenset = frozenset(),
 ):
@@ -435,12 +521,19 @@ def decode_attention(
     Returns the normalized attention output [BH, GQ, D] f32 (both tiers).
     ``hkv`` = kv heads per sequence (row i of the BH axis belongs to
     sequence i // hkv of ``lens``). COO outlier corrections (GEAR ``left``)
-    are folded in-kernel when the k/v_out arrays are given.
+    are folded in-kernel when the k/v_out arrays are given; int8 low-rank
+    bases ride directly when ``base8`` with their [BH, R, NB] scales.
+    ``heads_per_step`` batches that many BH rows per grid step (amortizes
+    per-step launch overhead and batches the code DMA — the per-head
+    streams are small once compressed).
     """
     bh, gq, d = q.shape
     t = kqt.shape[2]
     nb = t // group
     ko = 0 if k_out_idx is None else 2 * k_out_idx.shape[2]
+    hb = max(1, min(heads_per_step, bh))
+    while bh % hb:
+        hb -= 1
     # Chunk size: cb blocks of `group` tokens. The k_scale block is
     # [cb, D], so cb must be a multiple of 8 or equal nb (TPU tiling rule).
     cb = min(blocks_per_chunk, nb)
@@ -461,35 +554,39 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, hkv=hkv, ko=ko, interpret=interpret,
-        ablate=ablate)
+        blocks_per_chunk=cb, hkv=hkv, ko=ko, base8=base8, use_lr=use_lr,
+        dual_region=dual_region, hb=hb, interpret=interpret, ablate=ablate)
 
     in_specs = [
-        pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
-        pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
-        pl.BlockSpec((1, cb, d), lambda i, j, *_: (i, j, 0)),
-        pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((1, wd, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((1, ngv, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((1, r, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((1, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
-        pl.BlockSpec((1, group, d), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, group, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((hb, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((hb, wd, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, cb, d), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((hb, cb, d), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((hb, r, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, wd, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, r, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
     ]
     inputs = [lens, pad_start,
               q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
               vqt, vpt, k_resid, v_resid]
+    if base8:
+        in_specs += [pl.BlockSpec((hb, r, cb), lambda i, j, *_: (i, 0, j))
+                     for _ in range(4)]
+        inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
     if ko:
         # full [NB, KO(/2)] tiles per head; constant across j so Pallas only
         # DMAs them once per head — the kernel sublane-slices its chunk.
         in_specs += [
-            pl.BlockSpec((1, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, nb, ko), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((1, nb, ko), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
         ]
         inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
 
@@ -497,15 +594,15 @@ def decode_attention(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bh, nc),
+            grid=(bh // hb, nc),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((gq, d), jnp.float32),
-                pltpu.VMEM((gq, 128), jnp.float32),
-                pltpu.VMEM((gq, 128), jnp.float32),
+                pltpu.VMEM((hb * gq, d), jnp.float32),
+                pltpu.VMEM((hb * gq, 128), jnp.float32),
+                pltpu.VMEM((hb * gq, 128), jnp.float32),
             ],
         ),
         out_shape=[
@@ -524,6 +621,8 @@ def attend_fused(
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
     blocks_per_chunk: int = 16,
+    dual_region: bool = True,
+    heads_per_step: int = 1,
     interpret: bool = False,
     ablate: frozenset = frozenset(),
 ) -> jax.Array:
@@ -534,14 +633,13 @@ def attend_fused(
     one-hot gather/scatter dots over the stored deltas — the full GEAR
     recipe (quant + low-rank + outliers) in one HBM pass. The reference's
     fused CUDA path never implemented its outlier slots
-    (modeling_llamagear.py:458-466, always None); this surpasses it."""
+    (modeling_llamagear.py:458-466); this surpasses it."""
     b, hq, qn, d = q.shape
     hkv = spec.num_kv_heads
     gq_n = (hq // hkv) * qn
     if sm_scale is None:
         sm_scale = d ** -0.5
     bhn = b * hkv
-    nb = spec.n_blocks
 
     qf = (q.reshape(b, hkv, gq_n, d) * sm_scale).astype(jnp.float32)
     # GQ padded to the f32 sublane tile (8).
@@ -549,18 +647,8 @@ def attend_fused(
     if gq_pad != gq_n:
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
 
-    from .. import cache as _cache_mod
-
-    # int8 bases are dequantized to bf16 views for the kernel (kernel-native
-    # int8 base reads are a later optimization); HBM residency stays int8.
-    kpt_in = _cache_mod.base_kpt(spec, cache).astype(jnp.bfloat16) \
-        if spec.base_bits == 8 else cache.kpt.astype(jnp.bfloat16)
-    kqt_in = _cache_mod.base_kqt(spec, cache).astype(jnp.bfloat16) \
-        if spec.base_bits == 8 else cache.kqt
-    vqt_in = _cache_mod.base_vqt(spec, cache).astype(jnp.bfloat16) \
-        if spec.base_bits == 8 else cache.vqt
-    vpt_in = _cache_mod.base_vpt(spec, cache).astype(jnp.bfloat16) \
-        if spec.base_bits == 8 else cache.vpt
+    base8 = spec.base_bits == 8
+    use_lr = max(spec.rank, spec.prefill_rank) > 0
 
     flat = lambda x: x.reshape(bhn, *x.shape[2:])
     if pad_start is None:
@@ -573,6 +661,15 @@ def attend_fused(
                    cache.resid_len.astype(jnp.int32),
                    cache.prefill_len.astype(jnp.int32)])[None, :], (b, 3))
 
+    if base8:
+        # per-(rank, block) f32 scales, P scales pre-transposed to [R, NB]
+        # so the kernel reads [R, 1] columns (no in-kernel transpose).
+        scale_args = (flat(jnp.swapaxes(cache.kpt_scale, -1, -2)),
+                      flat(cache.kqt_scale),
+                      flat(cache.vqt_scale),
+                      flat(jnp.swapaxes(cache.vpt_scale, -1, -2)))
+    else:
+        scale_args = (None, None, None, None)
 
     if spec.outliers_per_block:
         outlier_args = (flat(cache.k_out_idx), flat(cache.k_out_val),
@@ -583,21 +680,25 @@ def attend_fused(
     out = decode_attention(
         lens,
         pad_bh,
-        flat(qf), flat(kpt_in),
+        flat(qf),
+        flat(cache.kpt),
         flat(cache.k_codes),
         flat(cache.k_scale),
         flat(cache.k_mn),
-        flat(kqt_in),
+        flat(cache.kqt),
         flat(cache.v_codes),
         flat(cache.v_scale),
         flat(cache.v_mn),
-        flat(vqt_in),
-        flat(vpt_in),
+        flat(cache.vqt),
+        flat(cache.vpt),
         flat(cache.k_resid),
         flat(cache.v_resid),
+        *scale_args,
         *outlier_args,
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
-        blocks_per_chunk=blocks_per_chunk, hkv=hkv, interpret=interpret,
+        blocks_per_chunk=blocks_per_chunk, hkv=hkv, base8=base8,
+        use_lr=use_lr, dual_region=dual_region,
+        heads_per_step=heads_per_step, interpret=interpret,
         ablate=ablate,
     )
 
@@ -614,7 +715,7 @@ def attend_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "v_group", "page_blocks", "hkv",
-                     "interpret"),
+                     "base8", "use_lr", "interpret"),
 )
 def decode_attention_paged(
     lens: jax.Array,         # int32 [B, 3] per-seq (comp, resid, prefill)
@@ -633,8 +734,12 @@ def decode_attention_paged(
     vpt: jax.Array,          # [P, H, PB, R, D] ------------------------------
     k_resid: jax.Array,      # [B, H, G, D] per-seq residual tier
     v_resid: jax.Array,      # [B, H, G, D]
+    kpt_scale: jax.Array | None = None,   # f32 [P, H, R, PB] (pre-transposed)
+    kqt_scale: jax.Array | None = None,   # f32 [P, H, R, PB]
+    vqt_scale: jax.Array | None = None,
+    vpt_scale: jax.Array | None = None,
     k_out_idx: jax.Array | None = None,   # int32 [P, H, PB, KO//2]
-    k_out_val: jax.Array | None = None,   # [P, H, KO, PB] delta values
+    k_out_val: jax.Array | None = None,   # [P, H, PB, KO] delta values
     v_out_idx: jax.Array | None = None,
     v_out_val: jax.Array | None = None,
     *,
@@ -643,6 +748,8 @@ def decode_attention_paged(
     v_group: int,
     page_blocks: int,
     hkv: int,
+    base8: bool = False,
+    use_lr: bool = True,
     interpret: bool = False,
 ):
     """Fused flash-decode directly over the physical page pool.
@@ -651,7 +758,9 @@ def decode_attention_paged(
     drives the DMA source page, so no gather/copy of pages ever happens.
     Unallocated table tail entries must be clamped to a valid page id (the
     kernel masks them off via comp_len). COO outlier deltas ride along as
-    per-page tiles when given.
+    per-page tiles when given. Pages interleave prefill- and decode-written
+    blocks arbitrarily, so the paged kernel always takes the per-block
+    low-rank path (dual_region=False).
     """
     bh, gq, d = q.shape
     maxp = block_table.shape[1]
@@ -666,7 +775,8 @@ def decode_attention_paged(
         # bt_ref drives the index_maps only; the kernel body never reads it.
         _decode_kernel(lens_ref, pad_ref, *args,
                        bits=bits, group=group, v_group=v_group,
-                       blocks_per_chunk=cb, hkv=hkv, ko=ko,
+                       blocks_per_chunk=cb, hkv=hkv, ko=ko, base8=base8,
+                       use_lr=use_lr, dual_region=False,
                        interpret=interpret)
 
     def tok(i, j, lens_, pad_, bt_):
@@ -695,6 +805,9 @@ def decode_attention_paged(
     inputs = [lens, pad_start, block_table,
               q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
               vqt, vpt, k_resid, v_resid]
+    if base8:
+        in_specs += [pl.BlockSpec((1, 1, r, cb), tok) for _ in range(4)]
+        inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
     if ko:
         in_specs += [
             pl.BlockSpec((1, 1, cb, ko // 2), tok),
@@ -765,25 +878,15 @@ def attend_paged(
                       seqs.prefill_len.astype(jnp.int32)], axis=1)  # [B, 3]
     bt = jnp.maximum(seqs.block_table.astype(jnp.int32), 0)
 
-    if spec.base_bits == 8:
-        # dequantize the int8 pool bases to bf16 views for the kernel
-        # (HBM residency stays int8; kernel-native int8 base reads are a
-        # later optimization — mirrors the dense attend_fused path).
-        kpt_in = (pool.kpt.astype(jnp.float32)
-                  * pool.kpt_scale[..., None]).astype(jnp.bfloat16)
-        vpt_in = (pool.vpt.astype(jnp.float32)
-                  * pool.vpt_scale[..., None]).astype(jnp.bfloat16)
-        kqt_in = (pool.kqt.astype(jnp.float32)
-                  * jnp.repeat(pool.kqt_scale, spec.group, axis=-1)
-                  ).astype(jnp.bfloat16)
-        vqt_in = (pool.vqt.astype(jnp.float32)
-                  * jnp.repeat(pool.vqt_scale, spec.group, axis=-1)
-                  ).astype(jnp.bfloat16)
+    base8 = spec.base_bits == 8
+    use_lr = max(spec.rank, spec.prefill_rank) > 0
+    if base8:
+        scale_args = (jnp.swapaxes(pool.kpt_scale, -1, -2),
+                      pool.kqt_scale,
+                      pool.vqt_scale,
+                      jnp.swapaxes(pool.vpt_scale, -1, -2))
     else:
-        kpt_in = pool.kpt.astype(jnp.bfloat16)
-        vpt_in = pool.vpt.astype(jnp.bfloat16)
-        kqt_in = pool.kqt.astype(jnp.bfloat16)
-        vqt_in = pool.vqt.astype(jnp.bfloat16)
+        scale_args = (None, None, None, None)
 
     if spec.outliers_per_block:
         outlier_args = (pool.k_out_idx, pool.k_out_val,
@@ -794,17 +897,18 @@ def attend_paged(
     out = decode_attention_paged(
         lens, pad_bh, bt,
         qf.reshape(bhn, gq_pad, d),
-        kpt_in,
+        pool.kpt,
         pool.k_codes, pool.k_scale, pool.k_mn,
-        kqt_in,
+        pool.kqt,
         pool.v_codes, pool.v_scale, pool.v_mn,
-        vqt_in,
-        vpt_in,
+        pool.vqt,
+        pool.vpt,
         seqs.k_resid, seqs.v_resid,
+        *scale_args,
         *outlier_args,
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
-        page_blocks=pspec.page_blocks, hkv=hkv, interpret=interpret,
+        page_blocks=pspec.page_blocks, hkv=hkv, base8=base8, use_lr=use_lr,
+        interpret=interpret,
     )
     out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]
     return out.reshape(b, hq, qn, d).astype(q.dtype)
-

@@ -195,10 +195,22 @@ def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
 def causal_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
     attn_mask: jax.Array | None, sliding_window: int | None = None,
+    *, blockwise_threshold: int = 2048,
 ) -> jax.Array:
     """Full prefill attention. q [B,Hq,S,D], k/v [B,Hkv,S,D] (GQA grouped),
-    attn_mask [B,S] 1=valid. fp32 softmax."""
+    attn_mask [B,S] 1=valid. fp32 softmax.
+
+    Long prompts (S > blockwise_threshold) run BLOCKWISE: a lax.scan over
+    KV chunks with f32 online-softmax accumulators, so peak memory is
+    O(S * chunk) instead of the O(S^2) dense score tensor (8k ctx at 32
+    heads would otherwise materialize an 8.6 GB f32 score block — more than
+    half of a v5e's HBM). XLA fuses the per-chunk einsum+mask+exp; compute
+    stays on the MXU.
+    """
     b, hq, s, d = q.shape
+    if s > blockwise_threshold:
+        return _causal_attention_blockwise(q, k, v, attn_mask,
+                                           sliding_window)
     hkv = k.shape[1]
     gq = hq // hkv
     qg = q.reshape(b, hkv, gq, s, d).astype(jnp.float32)
@@ -215,6 +227,58 @@ def causal_attention(
     w = jax.nn.softmax(scores, axis=-1)
     w = jnp.where(jnp.isnan(w), 0.0, w)  # fully-masked rows (left padding)
     out = jnp.einsum("bhgqk,bhkd->bhgqd", w, v.astype(jnp.float32))
+    return out.reshape(b, hq, s, d).astype(q.dtype)
+
+
+def _causal_attention_blockwise(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    attn_mask: jax.Array | None, sliding_window: int | None = None,
+    chunk: int = 512,
+) -> jax.Array:
+    """Flash-style prefill: scan over KV chunks, online-softmax merge."""
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    gq = hq // hkv
+    ck = chunk
+    while s % ck:
+        ck //= 2
+    n = s // ck
+    sm = d ** -0.5
+    qg = (q.reshape(b, hkv, gq, s, d) * sm).astype(jnp.float32)
+    kc = k.astype(jnp.float32).reshape(b, hkv, n, ck, d).transpose(
+        2, 0, 1, 3, 4)                                   # [n,B,H,ck,D]
+    vc = v.astype(jnp.float32).reshape(b, hkv, n, ck, d).transpose(
+        2, 0, 1, 3, 4)
+    if attn_mask is not None:
+        amc = attn_mask.astype(bool).reshape(b, n, ck).transpose(1, 0, 2)
+    else:
+        amc = jnp.ones((n, b, ck), bool)
+    qpos = jnp.arange(s)
+
+    def body(carry, xs):
+        acc, m, l = carry                                # [B,H,G,S,D]/[...,S]
+        kj, vj, amj, j = xs
+        scores = jnp.einsum("bhgqd,bhkd->bhgqk", qg, kj)  # [B,H,G,S,ck]
+        kpos = j * ck + jnp.arange(ck)
+        msk = qpos[:, None] >= kpos[None, :]             # causal
+        if sliding_window is not None:
+            msk = msk & (qpos[:, None] - kpos[None, :] < sliding_window)
+        msk = msk[None, None, None] & amj[:, None, None, None, :]
+        scores = jnp.where(msk, scores, -1e30)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        p = jnp.exp(scores - m_new[..., None])
+        p = jnp.where(msk, p, 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + p.sum(-1)
+        acc = acc * alpha[..., None] + jnp.einsum("bhgqk,bhkd->bhgqd", p, vj)
+        return (acc, m_new, l), None
+
+    acc0 = jnp.zeros((b, hkv, gq, s, d), jnp.float32)
+    m0 = jnp.full((b, hkv, gq, s), -1e30, jnp.float32)
+    l0 = jnp.zeros((b, hkv, gq, s), jnp.float32)
+    (acc, m, l), _ = jax.lax.scan(
+        body, (acc0, m0, l0), (kc, vc, amc, jnp.arange(n)))
+    out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]   # padded rows -> 0
     return out.reshape(b, hq, s, d).astype(q.dtype)
 
 
@@ -329,9 +393,12 @@ def forward_decode(
             if attn_impl.startswith("pallas"):
                 from ..kernels import decode as fused
 
+                # "pallas@<n>" batches n kv heads per kernel grid step.
+                impl, _, hb_s = attn_impl.partition("@")
                 attn = fused.attend_fused(
                     spec, lcache, q, pad_start=pad_start,
-                    interpret=attn_impl == "pallas_interpret")
+                    heads_per_step=int(hb_s) if hb_s else 1,
+                    interpret=impl == "pallas_interpret")
             else:
                 attn = kvcache.attend(spec, lcache, q, pad_start=pad_start)
         else:

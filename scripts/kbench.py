@@ -109,15 +109,16 @@ def main():
             bench(name,
                   lambda st, x: K.attend_paged(pspec, st[0], st[1], x),
                   (pool, seqs), q, comp_bytes)
-        elif name.startswith("gear"):
-            # gear<cb>[:bits] — full GEAR recipe: canonical 2% outliers +
-            # int8 bases + v_group=D (INT2 canonical unless :4)
+        elif name.startswith("gear") and not name.startswith("gearl"):
+            # gear<cb>[:bits][@hb] — full GEAR recipe: canonical 2% outliers
+            # + int8 bases + v_group=D (INT2 canonical unless :4)
             spec_s = name[4:] or "16"
+            spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
             gbits = 2
             if ":" in spec_s:
                 spec_s, b_s = spec_s.split(":", 1)
                 gbits = int(b_s)
-            cbg = int(spec_s)
+            cbg = int(spec_s or "16")
             gspec = C.CacheSpec(
                 batch=1, num_kv_heads=HEADS, head_dim=D, max_len=CTX,
                 bits=gbits, group=64, rank=2, prefill_rank=4,
@@ -127,20 +128,44 @@ def main():
             gcache = C.prefill(gspec, k, v)
             np.asarray(gcache.comp_len)
             bench(name,
-                  lambda c, x, cb=cbg: K.attend_fused(
-                      gspec, c, x, blocks_per_chunk=cb),
+                  lambda c, x, cb=cbg, hb=int(hb): K.attend_fused(
+                      gspec, c, x, blocks_per_chunk=cb, heads_per_step=hb),
+                  gcache, q, gspec.bytes_compressed())
+        elif name.startswith("gearl"):
+            # gearl<cb>[:bits][@hb] — the reference SPEED protocol config
+            # (gearlKIVI, test.py:30-37): INT2 g64 rank2 loop3, NO outliers;
+            # int8 bases, v_group=D.
+            spec_s = name[5:] or "16"
+            spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
+            gbits = 2
+            if ":" in spec_s:
+                spec_s, b_s = spec_s.split(":", 1)
+                gbits = int(b_s)
+            cbg = int(spec_s or "16")
+            gspec = C.CacheSpec(
+                batch=1, num_kv_heads=HEADS, head_dim=D, max_len=CTX,
+                bits=gbits, group=64, rank=2, prefill_rank=2,
+                lowrank_loop=3, base_bits=8, v_group_size=D,
+                dtype=jnp.bfloat16, sideband_dtype=jnp.bfloat16)
+            gcache = C.prefill(gspec, k, v)
+            np.asarray(gcache.comp_len)
+            bench(name,
+                  lambda c, x, cb=cbg, hb=int(hb): K.attend_fused(
+                      gspec, c, x, blocks_per_chunk=cb, heads_per_step=hb),
                   gcache, q, gspec.bytes_compressed())
         elif name.startswith("fused"):
-            # fused<cb>[:abl1+abl2]  e.g. fused32:nolr+nov
+            # fused<cb>[:abl1+abl2][@hb]  e.g. fused32:nolr+nov@4
             spec_s = name[5:]
+            spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
             abl = frozenset()
             if ":" in spec_s:
                 spec_s, abl_s = spec_s.split(":", 1)
                 abl = frozenset(abl_s.split("+"))
             cb = int(spec_s)
             bench(name,
-                  lambda c, x, cb=cb, abl=abl: K.attend_fused(
-                      spec, c, x, blocks_per_chunk=cb, ablate=abl),
+                  lambda c, x, cb=cb, abl=abl, hb=int(hb): K.attend_fused(
+                      spec, c, x, blocks_per_chunk=cb, ablate=abl,
+                      heads_per_step=hb),
                   cache, q, comp_bytes)
         else:
             print(f"unknown variant {name}")
