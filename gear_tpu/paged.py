@@ -27,6 +27,7 @@ Shapes: pool leaves carry [P, H, ...] where the dense LayerCache carries
 from __future__ import annotations
 
 import ctypes
+import functools
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -330,6 +331,39 @@ def append_paged(
     use_lowrank: bool = True,
     live: jax.Array | None = None,   # bool [B]; False rows are parked
 ) -> tuple[PagePool, PagedSeqs]:
+    """Append one decode step's K/V for every sequence (always run jitted —
+    see _append_paged_impl)."""
+    b = k_new.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    if live is None:
+        live = jnp.ones((b,), bool)
+    # The eager (apply_primitive) compilation path for the flush lax.cond
+    # segfaults the XLA:CPU compiler (scatter/QR-heavy branch; same bug
+    # class as the vmapped scatter noted in cache._extract_outliers), and
+    # callers want one compiled step anyway — so the body is always jitted.
+    return _append_paged_jit(pspec, use_lowrank, pool, seqs, k_new, v_new,
+                             key, live)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _append_paged_jit(pspec, use_lowrank, pool, seqs, k_new, v_new, key,
+                      live):
+    return _append_paged_impl(pspec, pool, seqs, k_new, v_new, key=key,
+                              use_lowrank=use_lowrank, live=live)
+
+
+def _append_paged_impl(
+    pspec: PagedSpec,
+    pool: PagePool,
+    seqs: PagedSeqs,
+    k_new: jax.Array,        # [B, H, 1, D]
+    v_new: jax.Array,
+    *,
+    key: jax.Array,
+    use_lowrank: bool = True,
+    live: jax.Array | None = None,   # bool [B]; False rows are parked
+) -> tuple[PagePool, PagedSeqs]:
     """Append one decode step's K/V for every sequence (jit-safe).
 
     Rows whose residual fills to ``group`` flush one compressed block into
@@ -382,21 +416,24 @@ def append_paged(
         off = blk % pb                            # block offset in page
         toff = off * g
 
+        # Single dynamic_update_slice with the page id as a dynamic START
+        # index — NOT ``arr.at[pid].set(...)``: a dynamic-index scatter (and
+        # the arr[pid] gather it implies) inside this lax.cond segfaults the
+        # XLA:CPU compiler (same bug class as the vmapped scatter noted in
+        # cache._extract_outliers); DUS also avoids materializing the
+        # gathered page.
         def upd_tok(arr, val):
-            return arr.at[pid].set(
-                jax.lax.dynamic_update_slice(
-                    arr[pid], val[0].astype(arr.dtype), (0, 0, toff)))
+            return jax.lax.dynamic_update_slice(
+                arr, val.astype(arr.dtype), (pid, 0, 0, toff))
 
         def upd_blk(arr, val):
-            return arr.at[pid].set(
-                jax.lax.dynamic_update_slice(
-                    arr[pid], val[0].astype(arr.dtype),
-                    (0, off) + (0,) * (arr.ndim - 3)))
+            return jax.lax.dynamic_update_slice(
+                arr, val.astype(arr.dtype),
+                (pid, 0, off) + (0,) * (arr.ndim - 3))
 
-        def upd_blk_lane(arr, val):   # blocks-in-lanes leaves [H, X, PB]
-            return arr.at[pid].set(
-                jax.lax.dynamic_update_slice(
-                    arr[pid], val[0].astype(arr.dtype), (0, 0, off)))
+        def upd_blk_lane(arr, val):   # blocks-in-lanes leaves [P, H, X, PB]
+            return jax.lax.dynamic_update_slice(
+                arr, val.astype(arr.dtype), (pid, 0, 0, off))
 
         upd = dict(
             k_codes=upd_tok(pool.k_codes, k_pack),
