@@ -230,8 +230,9 @@ def engine_generate_fn(engine, tokenizer):
 
 def write_results(results: list[EvalResult], out_dir: str | Path,
                   run_config: dict) -> Path:
-    """Per-run JSON results + macro accuracy (reference
-    evaluation_gsm8k.py:540-552 / bbh per-task + average)."""
+    """Per-run JSON results + macro accuracy + TensorBoard scalars
+    (reference evaluation_gsm8k.py:540-552 writes JSON and SummaryWriter
+    scalars; bbh adds per-task scalars, evaluation_bbh_cot.py:441)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     macro = float(np.mean([r.accuracy for r in results])) if results else 0.0
@@ -244,4 +245,11 @@ def write_results(results: list[EvalResult], out_dir: str | Path,
     path = out_dir / f"results_{int(time.time())}.json"
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
+
+    from ..metrics import ScalarWriter
+
+    with ScalarWriter(out_dir / "tb") as w:
+        for r in results:
+            w.scalar(f"accuracy/{r.task}", r.accuracy)
+        w.scalar("accuracy/macro", macro)
     return path
