@@ -163,3 +163,31 @@ def test_kernel_outliers_with_residual_and_flush(rng):
     got = K.attend_fused(spec, cache, q, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-2, atol=1.5e-2)
+
+
+@pytest.mark.parametrize("hb", [2, 4])
+def test_kernel_heads_per_step(rng, hb):
+    """heads_per_step batches BH rows per grid step; results identical."""
+    spec = mk_spec(num_kv_heads=2)  # batch 2 x 2 kv heads = 4 BH rows
+    cache = rand_cache(rng, spec, 256)
+    q = jnp.asarray(rng.standard_normal(
+        (spec.batch, 4, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, heads_per_step=hb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+
+
+def test_kernel_dual_region_slow_path(rng):
+    """Chunks past prefill_len take the per-block low-rank path; forcing
+    prefill_len lower (P is replicated, so the math is unchanged) must
+    reproduce the fast-path result."""
+    spec = mk_spec()
+    cache = rand_cache(rng, spec, 256)
+    q = jnp.asarray(rng.standard_normal(
+        (spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = K.attend_fused(spec, cache, q, blocks_per_chunk=2, interpret=True)
+    forced = cache.replace(prefill_len=jnp.int32(64))
+    got = K.attend_fused(spec, forced, q, blocks_per_chunk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
