@@ -131,7 +131,10 @@ def _b(ref, nd):
 
 def _decode_kernel(
     # scalar prefetch
-    lens_ref,          # int32 [NSEQ, 3] = (comp_len, resid_len, prefill_len)
+    lens_ref,          # int32 [BH, 3] = (comp_len, resid_len, prefill_len)
+    #                    per BH ROW (pre-expanded from per-seq outside, so
+    #                    the kernel has no global-position dependence and
+    #                    shards cleanly along BH)
     pad_start_ref,     # int32 [BH]
     # then, positionally (VMEM blocks; HB = heads_per_step heads batched per
     # grid step on the dense path; paged pool blocks instead carry two
@@ -158,7 +161,7 @@ def _decode_kernel(
     #   acc_ref, m_ref, l_ref  (VMEM scratch, [HB*GQ, .])
     *args,
     bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    hkv: int = 1, ko: int = 0, base8: bool = False, use_lr: bool = True,
+    ko: int = 0, base8: bool = False, use_lr: bool = True,
     dual_region: bool = True, hb: int = 1, interpret: bool = False,
     ablate: frozenset = frozenset(),
 ):
@@ -255,8 +258,8 @@ def _decode_kernel(
                 p = p * sl(pts_ref, 2)[:, c:c + 1]           # [R, 1] f32
             return p.astype(bf)
 
-        comp_len = lens_ref[bh // hkv, 0]
-        prefill_len = lens_ref[bh // hkv, 2]
+        comp_len = lens_ref[bh, 0]
+        prefill_len = lens_ref[bh, 2]
         rows = slice(h * gq, (h + 1) * gq)
 
         def _chunk():
@@ -447,7 +450,7 @@ def _decode_kernel(
         @pl.when(nc == pl.num_programs(1) - 1)
         def _finalize():
             # Residual (uncompressed) tier + final normalization, in-kernel.
-            resid_len = lens_ref[bh // hkv, 1]
+            resid_len = lens_ref[bh, 1]
             q = sl(q_ref, 2).astype(jnp.bfloat16)
             kr = sl(kresid_ref, 2).astype(jnp.bfloat16)      # [G, D]
             sr = _dot(q, kr, (((1,), (1,))))                 # [GQ, G] f32
@@ -471,6 +474,150 @@ def _decode_kernel(
 
     for h_i in range(hb):
         _head(h_i)
+
+
+def _decode_attention_call(
+    inputs: tuple,
+    *,
+    bits: int, group: int, v_group: int, blocks_per_chunk: int,
+    base8: bool, use_lr: bool, dual_region: bool, heads_per_step: int,
+    ko_present: bool, interpret: bool, ablate: frozenset,
+):
+    """Build and run the pallas_call. EVERY static decision derives from the
+    input shapes, so the same function lowers correctly on per-shard local
+    shapes inside the custom_partitioning below."""
+    (lens_bh, pad_start, q, kpt, k_codes, k_scale, k_mn, kqt,
+     v_codes, v_scale, v_mn, vqt, vpt, k_resid, v_resid) = inputs[:15]
+    rest = list(inputs[15:])
+    scale_in = rest[:4] if base8 else []
+    out_in = rest[4:] if base8 else rest
+    bh, gq, d = q.shape
+    t = kqt.shape[2]
+    nb = t // group
+    ko = 0 if not ko_present else 2 * out_in[0].shape[2]
+    hb = max(1, min(heads_per_step, bh))
+    while bh % hb:
+        hb -= 1
+    cb = min(blocks_per_chunk, nb)
+    while nb % cb:
+        cb -= 1
+    if cb % 8 and cb != nb:
+        cb = nb  # fall back to one chunk
+    if ko and cb % 16 and cb != nb:
+        # outlier tiles are sublane-sliced per chunk; bf16 delta rows need
+        # 16-aligned starts
+        cb = next((c for c in range(min(blocks_per_chunk, nb), 15, -1)
+                   if nb % c == 0 and c % 16 == 0), nb)
+    nc = nb // cb
+    r = kqt.shape[1]
+    wd = d // (32 // bits)
+    ngv = d // v_group
+    chunk = cb * group
+
+    kernel = functools.partial(
+        _decode_kernel, bits=bits, group=group, v_group=v_group,
+        blocks_per_chunk=cb, ko=ko, base8=base8, use_lr=use_lr,
+        dual_region=dual_region, hb=hb, interpret=interpret, ablate=ablate)
+
+    in_specs = [
+        pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((hb, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((hb, wd, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, cb, d), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((hb, cb, d), lambda i, j, *_: (i, j, 0)),
+        pl.BlockSpec((hb, r, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, wd, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, ngv, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, r, chunk), lambda i, j, *_: (i, 0, j)),
+        pl.BlockSpec((hb, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
+        pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
+    ]
+    if base8:
+        in_specs += [pl.BlockSpec((hb, r, cb), lambda i, j, *_: (i, 0, j))
+                     for _ in range(4)]
+    if ko:
+        # full [NB, KO(/2)] tiles per head; constant across j so Pallas only
+        # DMAs them once per head — the kernel sublane-slices its chunk.
+        in_specs += [
+            pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bh // hb, nc),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb * gq, d), jnp.float32),
+                pltpu.VMEM((hb * gq, 128), jnp.float32),
+                pltpu.VMEM((hb * gq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, gq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return out[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_decode(statics, arg_ranks: tuple):
+    """custom_partitioning wrapper per static kernel config: every operand
+    (and the output) shards along its leading BH axis, so under a TP mesh
+    (cache leaves sharded on the kv-head axis) each device runs the kernel
+    on its LOCAL heads with zero collectives — attention is head-local; the
+    surrounding projections carry the psum. Works under both the shardy
+    partitioner (sharding_rule) and classic GSPMD (infer/partition)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    kw = dict(zip(
+        ("bits", "group", "v_group", "blocks_per_chunk", "base8", "use_lr",
+         "dual_region", "heads_per_step", "ko_present", "interpret",
+         "ablate"), statics))
+
+    def impl(*tensors):
+        return _decode_attention_call(tensors, **kw)
+
+    f = custom_partitioning(impl)
+
+    def _bh_axis(arg_shapes):
+        sh = getattr(arg_shapes[2], "sharding", None)  # q
+        spec = getattr(sh, "spec", None)
+        return spec[0] if spec and len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(_bh_axis(arg_shapes),
+                                                 None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        ax = _bh_axis(arg_shapes)
+        arg_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(ax, *([None] * (rank - 1))))
+            for rank in arg_ranks)
+        out_sh = NamedSharding(mesh, PartitionSpec(ax, None, None))
+        return mesh, impl, out_sh, arg_sh
+
+    # shardy rule: leading factor shared ("h"), all other dims unique;
+    # output dims 1,2 reuse q's factor names.
+    parts = []
+    for i, rank in enumerate(arg_ranks):
+        parts.append(" ".join(
+            ["h"] + [f"a{i}x{j}" for j in range(1, rank)]))
+    rule = ", ".join(parts) + " -> h a2x1 a2x2"
+    f.def_partition(partition, infer_sharding_from_operands=infer,
+                    sharding_rule=rule)
+    return f
 
 
 @functools.partial(
@@ -526,91 +673,25 @@ def decode_attention(
     ``heads_per_step`` batches that many BH rows per grid step (amortizes
     per-step launch overhead and batches the code DMA — the per-head
     streams are small once compressed).
+
+    The call is wrapped in a custom_partitioning that shards every operand
+    (and the output) along the leading BH axis, so under a TP mesh each
+    device runs the kernel on its local kv heads with zero collectives.
     """
-    bh, gq, d = q.shape
-    t = kqt.shape[2]
-    nb = t // group
-    ko = 0 if k_out_idx is None else 2 * k_out_idx.shape[2]
-    hb = max(1, min(heads_per_step, bh))
-    while bh % hb:
-        hb -= 1
-    # Chunk size: cb blocks of `group` tokens. The k_scale block is
-    # [cb, D], so cb must be a multiple of 8 or equal nb (TPU tiling rule).
-    cb = min(blocks_per_chunk, nb)
-    while nb % cb:
-        cb -= 1
-    if cb % 8 and cb != nb:
-        cb = nb  # fall back to one chunk
-    if ko and cb % 16 and cb != nb:
-        # outlier tiles are sublane-sliced per chunk; bf16 delta rows need
-        # 16-aligned starts
-        cb = next((c for c in range(min(blocks_per_chunk, nb), 15, -1)
-                   if nb % c == 0 and c % 16 == 0), nb)
-    nc = nb // cb
-    r = kqt.shape[1]
-    wd = d // (32 // bits)
-    ngv = d // v_group
-    chunk = cb * group
-
-    kernel = functools.partial(
-        _decode_kernel, bits=bits, group=group, v_group=v_group,
-        blocks_per_chunk=cb, hkv=hkv, ko=ko, base8=base8, use_lr=use_lr,
-        dual_region=dual_region, hb=hb, interpret=interpret, ablate=ablate)
-
-    in_specs = [
-        pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((hb, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
-        pl.BlockSpec((hb, wd, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((hb, cb, d), lambda i, j, *_: (i, j, 0)),
-        pl.BlockSpec((hb, cb, d), lambda i, j, *_: (i, j, 0)),
-        pl.BlockSpec((hb, r, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((hb, wd, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((hb, ngv, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((hb, ngv, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((hb, r, chunk), lambda i, j, *_: (i, 0, j)),
-        pl.BlockSpec((hb, cb, r, d), lambda i, j, *_: (i, j, 0, 0)),
-        pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
-    ]
-    inputs = [lens, pad_start,
+    lens_bh = jnp.repeat(lens.astype(jnp.int32), hkv, axis=0)  # [BH, 3]
+    inputs = [lens_bh, pad_start,
               q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
               vqt, vpt, k_resid, v_resid]
     if base8:
-        in_specs += [pl.BlockSpec((hb, r, cb), lambda i, j, *_: (i, 0, j))
-                     for _ in range(4)]
         inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
-    if ko:
-        # full [NB, KO(/2)] tiles per head; constant across j so Pallas only
-        # DMAs them once per head — the kernel sublane-slices its chunk.
-        in_specs += [
-            pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
-        ]
+    if k_out_idx is not None:
         inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
 
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(bh // hb, nc),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((hb * gq, d), jnp.float32),
-                pltpu.VMEM((hb * gq, 128), jnp.float32),
-                pltpu.VMEM((hb * gq, 128), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, gq, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*inputs)
-    return out[0]
+    statics = (bits, group, v_group, blocks_per_chunk, base8, use_lr,
+               dual_region, heads_per_step, k_out_idx is not None,
+               interpret, ablate)
+    f = _partitioned_decode(statics, tuple(x.ndim for x in inputs))
+    return f(*inputs)
 
 
 def attend_fused(
@@ -771,11 +852,13 @@ def decode_attention_paged(
     ngv = d // v_group
     ko = 0 if k_out_idx is None else 2 * k_out_idx.shape[3]
 
+    lens_bh = jnp.repeat(lens.astype(jnp.int32), hkv, axis=0)  # [BH, 3]
+
     def kernel(lens_ref, pad_ref, bt_ref, *args):
         # bt_ref drives the index_maps only; the kernel body never reads it.
         _decode_kernel(lens_ref, pad_ref, *args,
                        bits=bits, group=group, v_group=v_group,
-                       blocks_per_chunk=cb, hkv=hkv, ko=ko, base8=base8,
+                       blocks_per_chunk=cb, ko=ko, base8=base8,
                        use_lr=use_lr, dual_region=False,
                        interpret=interpret)
 
@@ -802,7 +885,7 @@ def decode_attention_paged(
         pl.BlockSpec((1, 1, group, d),
                      lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
     ]
-    inputs = [lens, pad_start, block_table,
+    inputs = [lens_bh, pad_start, block_table,
               q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
               vqt, vpt, k_resid, v_resid]
     if base8:
