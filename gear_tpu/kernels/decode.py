@@ -152,8 +152,9 @@ def _decode_kernel(
     #   vpt_ref,      [HB, CB, R, D]    bf16|int8
     #   kresid_ref,   [HB, G, D]        cache dtype
     #   vresid_ref,   [HB, G, D]
-    #   [if base8: kpts_ref/kqts_ref/vqts_ref/vpts_ref — f32 [HB, R, CB]
-    #    per-(rank, block) base scales (P scales pre-transposed to [R, NB])]
+    #   [if base8: kpts_ref/kqts_ref/vqts_ref/vpts_ref — f32 [HB, R, NB]
+    #    per-(rank, block) base scales, FULL rows (P pre-transposed); the
+    #    kernel roll-slices its chunk's columns. Paged: [1, 1, R, PB].]
     #   [if ko: koi_ref, kov_ref, voi_ref, vov_ref — COO outlier deltas,
     #    idx packed 2x16-bit/int32 [HB, NB, KO//2], values [HB, NB, KO]
     #    (dense; sublanes sliced per chunk) or [1, 1, CB, KO(/2)] (paged)]
@@ -240,22 +241,43 @@ def _decode_kernel(
                                             jnp.uint32(16)), jnp.int32)
             return jnp.concatenate([lo, hi], axis=1), ov.astype(f32)
 
+        def _chunk_cols(tile, width):
+            """Columns [nc*width, (nc+1)*width) of a full-lane-row scale
+            tile. Dense blocks carry the FULL [R, NB] row (a [R, cb] block
+            would violate Mosaic's lane-dim tiling constraint); paged blocks
+            already arrive per-page (lanes == width) and pass through. The
+            dynamic lane slice is a rotate + static slice (Mosaic forbids
+            unaligned dynamic lane starts)."""
+            nb_l = tile.shape[-1]
+            if nb_l == width:
+                return tile
+            start = nc * width
+            if interpret:
+                return jax.lax.dynamic_slice_in_dim(tile, start, width, 1)
+            return pltpu.roll(tile, jax.lax.rem(nb_l - start, nb_l),
+                              1)[:, :width]
+
         def _deq_qt(qt_ref, qts_ref):
             """Low-rank Q factor chunk [R, CHUNK] -> bf16 (int8 x per-block
-            scale when base8)."""
+            scale when base8). Per-block scales expand to per-token lanes
+            via a one-hot dot ([R,CB]x[CB,CHUNK]) — a broadcast+minor-dim
+            reshape does not lower on Mosaic."""
             qt = sl(qt_ref, 2)
             if not base8:
                 return qt.astype(bf)
-            qs = sl(qts_ref, 2)                              # [R, CB] f32
-            qs_rep = jnp.broadcast_to(
-                qs[:, :, None], (r, cb, g)).reshape(r, chunk)
+            qs = _chunk_cols(sl(qts_ref, 2), cb)             # [R, CB] f32
+            ee = (jax.lax.broadcasted_iota(jnp.int32, (cb, chunk), 1) // g
+                  == jax.lax.broadcasted_iota(
+                      jnp.int32, (cb, chunk), 0)).astype(bf)
+            qs_rep = _dot(qs.astype(bf), ee, (((1,), (0,))))  # [R, CHUNK] f32
             return (qt.astype(f32) * qs_rep).astype(bf)
 
         def _deq_p(pt_ref, pts_ref, c):
             """Low-rank P factor for block c -> [R, D] bf16."""
             p = sl(pt_ref, 3)[c].astype(f32)                 # [R, D]
             if base8:
-                p = p * sl(pts_ref, 2)[:, c:c + 1]           # [R, 1] f32
+                ps = _chunk_cols(sl(pts_ref, 2), cb)         # [R, CB] f32
+                p = p * ps[:, c:c + 1]                       # [R, 1] f32
             return p.astype(bf)
 
         comp_len = lens_ref[bh, 0]
@@ -535,7 +557,10 @@ def _decode_attention_call(
         pl.BlockSpec((hb, group, d), lambda i, j, *_: (i, 0, 0)),
     ]
     if base8:
-        in_specs += [pl.BlockSpec((hb, r, cb), lambda i, j, *_: (i, 0, j))
+        # full [R, NB] rows, constant across j (DMA'd once per head); a
+        # (r, cb) block would violate Mosaic's lane-dim tiling constraint
+        # (cb < 128 and != NB) — the kernel roll-slices its chunk's columns.
+        in_specs += [pl.BlockSpec((hb, r, nb), lambda i, j, *_: (i, 0, 0))
                      for _ in range(4)]
     if ko:
         # full [NB, KO(/2)] tiles per head; constant across j so Pallas only

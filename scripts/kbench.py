@@ -109,49 +109,40 @@ def main():
             bench(name,
                   lambda st, x: K.attend_paged(pspec, st[0], st[1], x),
                   (pool, seqs), q, comp_bytes)
-        elif name.startswith("gear") and not name.startswith("gearl"):
-            # gear<cb>[:bits][@hb] — full GEAR recipe: canonical 2% outliers
-            # + int8 bases + v_group=D (INT2 canonical unless :4)
-            spec_s = name[4:] or "16"
+        elif name.startswith("gear"):
+            # gear[l]<cb>[:bits|abl[+...]][@hb]
+            #   gear  = full GEAR recipe (canonical 2% outliers, prefill_rank
+            #           4) + int8 bases + v_group=D; INT2 unless :4
+            #   gearl = the reference SPEED protocol config (gearlKIVI,
+            #           test.py:30-37): INT2 g64 rank2 loop3, NO outliers
+            # ':' section tokens: integers set bits, others are kernel
+            # ablations (nolr, nomn, nov, nok, noshift, ...).
+            is_l = name.startswith("gearl")
+            spec_s = name[5 if is_l else 4:] or "16"
             spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
-            gbits = 2
+            gbits, abl = 2, []
             if ":" in spec_s:
-                spec_s, b_s = spec_s.split(":", 1)
-                gbits = int(b_s)
+                spec_s, mod_s = spec_s.split(":", 1)
+                for tokn in mod_s.split("+"):
+                    if tokn.isdigit():
+                        gbits = int(tokn)
+                    elif tokn:
+                        abl.append(tokn)
             cbg = int(spec_s or "16")
             gspec = C.CacheSpec(
                 batch=1, num_kv_heads=HEADS, head_dim=D, max_len=CTX,
-                bits=gbits, group=64, rank=2, prefill_rank=4,
-                lowrank_loop=3, base_bits=8, outliers_per_block=164,
+                bits=gbits, group=64, rank=2,
+                prefill_rank=2 if is_l else 4,
+                lowrank_loop=3, base_bits=8,
+                outliers_per_block=0 if is_l else 164,
                 v_group_size=D, dtype=jnp.bfloat16,
                 sideband_dtype=jnp.bfloat16)
             gcache = C.prefill(gspec, k, v)
             np.asarray(gcache.comp_len)
             bench(name,
-                  lambda c, x, cb=cbg, hb=int(hb): K.attend_fused(
-                      gspec, c, x, blocks_per_chunk=cb, heads_per_step=hb),
-                  gcache, q, gspec.bytes_compressed())
-        elif name.startswith("gearl"):
-            # gearl<cb>[:bits][@hb] — the reference SPEED protocol config
-            # (gearlKIVI, test.py:30-37): INT2 g64 rank2 loop3, NO outliers;
-            # int8 bases, v_group=D.
-            spec_s = name[5:] or "16"
-            spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
-            gbits = 2
-            if ":" in spec_s:
-                spec_s, b_s = spec_s.split(":", 1)
-                gbits = int(b_s)
-            cbg = int(spec_s or "16")
-            gspec = C.CacheSpec(
-                batch=1, num_kv_heads=HEADS, head_dim=D, max_len=CTX,
-                bits=gbits, group=64, rank=2, prefill_rank=2,
-                lowrank_loop=3, base_bits=8, v_group_size=D,
-                dtype=jnp.bfloat16, sideband_dtype=jnp.bfloat16)
-            gcache = C.prefill(gspec, k, v)
-            np.asarray(gcache.comp_len)
-            bench(name,
-                  lambda c, x, cb=cbg, hb=int(hb): K.attend_fused(
-                      gspec, c, x, blocks_per_chunk=cb, heads_per_step=hb),
+                  lambda c, x, cb=cbg, hb=int(hb), a=frozenset(abl):
+                      K.attend_fused(gspec, c, x, blocks_per_chunk=cb,
+                                     heads_per_step=hb, ablate=a),
                   gcache, q, gspec.bytes_compressed())
         elif name.startswith("fused"):
             # fused<cb>[:abl1+abl2][@hb]  e.g. fused32:nolr+nov@4
