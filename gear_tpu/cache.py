@@ -68,6 +68,19 @@ class CacheSpec:
                           # as fixed-size COO (flat idx + exact value);
                           # restored by scatter before the low-rank error
                           # is computed (reference order). 0 = GEARL.
+    kcvt_prefill: bool = False
+                          # Quantize the PREFILL region's K with ONE
+                          # per-channel min/max over the whole prompt
+                          # (the reference's KCVT K grouping: group_size =
+                          # seq_len, compress_function.py:441-452) instead
+                          # of per time-block. Stored replicated across the
+                          # block rows (layout unchanged); the Pallas
+                          # kernel's dual-region fast path then folds the
+                          # scale into q ONCE per chunk and computes one
+                          # flash-shaped score dot instead of per-block
+                          # dots. Decode-flushed blocks keep per-block
+                          # scales. The quant error delta is absorbed by
+                          # the low-rank error bases (computed after).
     v_group_size: int = 0
                           # V quantization group along the head dim;
                           # 0 = min(group, head_dim). The reference's
@@ -339,12 +352,14 @@ def _restore_outliers(spec: CacheSpec, x: jax.Array, idx: jax.Array,
     return out.reshape(b, h, s_len, d)
 
 
-def _compress_k_block(spec: CacheSpec, k: jax.Array):
+def _compress_k_block(spec: CacheSpec, k: jax.Array, whole_span: bool = False):
     """K block [B,H,S,D] -> per-channel quant (groups along time), codes
     token-major and packed along the head dim.
 
     Quantization runs directly on the time-grouped view (no transposes):
-    min/max over each ``group``-token window per channel.
+    min/max over each ``group``-token window per channel — or, when
+    ``whole_span`` (kcvt_prefill), over ALL S tokens at once (KCVT K
+    grouping, compress_function.py:441-452), replicated per block row.
     Returns (packed int32 [B,H,WD,S], scale/mn [B,H,S//group,D]).
     """
     b, h, s_len, d = k.shape
@@ -359,8 +374,16 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array):
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
     levels = (1 << spec.bits) - 1
     kg = k.astype(jnp.float32).reshape(b, h, nbs, g, d)
-    mn = jnp.min(kg, axis=3)            # [B,H,NBs,D]
-    mx = jnp.max(kg, axis=3)
+    if whole_span:
+        mn = jnp.broadcast_to(
+            jnp.min(kg, axis=(2, 3), keepdims=True)[:, :, :, 0],
+            (b, h, nbs, d))
+        mx = jnp.broadcast_to(
+            jnp.max(kg, axis=(2, 3), keepdims=True)[:, :, :, 0],
+            (b, h, nbs, d))
+    else:
+        mn = jnp.min(kg, axis=3)        # [B,H,NBs,D]
+        mx = jnp.max(kg, axis=3)
     scale = (mx - mn) / levels
     safe = jnp.where(scale == 0.0, 1.0, scale)
     codes = jnp.clip(
@@ -601,7 +624,14 @@ def prefill(
         kb, vb = k[:, :, :n_full], v[:, :, :n_full]
         c_k = _compress_k_block_pk if pack_kernel else _compress_k_block
         c_v = _compress_v_block_pk if pack_kernel else _compress_v_block
-        k_pack, k_scale, k_mn, ko_i, ko_v = c_k(spec, kb)
+        if spec.kcvt_prefill:
+            # whole-span per-channel K scales (KCVT): the sidebands come
+            # from one global reduction, so the fused pack kernel's
+            # per-group minmax doesn't apply — XLA path for K.
+            k_pack, k_scale, k_mn, ko_i, ko_v = _compress_k_block(
+                spec, kb, whole_span=True)
+        else:
+            k_pack, k_scale, k_mn, ko_i, ko_v = c_k(spec, kb)
         v_pack, v_scale, v_mn, vo_i, vo_v = c_v(spec, vb)
         nbs = n_full // g
         cache = cache.replace(

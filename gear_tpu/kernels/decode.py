@@ -163,8 +163,8 @@ def _decode_kernel(
     *args,
     bits: int, group: int, v_group: int, blocks_per_chunk: int,
     ko: int = 0, base8: bool = False, use_lr: bool = True,
-    dual_region: bool = True, hb: int = 1, interpret: bool = False,
-    ablate: frozenset = frozenset(),
+    dual_region: bool = True, kcvt: bool = False, hb: int = 1,
+    interpret: bool = False, ablate: frozenset = frozenset(),
 ):
     n_base = 13
     (q_ref, kpt_ref, kcodes_ref, kscale_ref, kmn_ref, kqt_ref,
@@ -284,7 +284,12 @@ def _decode_kernel(
         prefill_len = lens_ref[bh, 2]
         rows = slice(h * gq, (h + 1) * gq)
 
-        def _chunk():
+        def _chunk(fast):
+            # ``fast`` (STATIC python bool — the two variants are dispatched
+            # by disjoint pl.when predicates below, NEVER lax.cond: Mosaic
+            # lowers value-returning lax.cond to execute-both-and-select, so
+            # a cond-based dual-region always paid the slow path; measured
+            # +56us/step at INT2 8k. pl.when side-effect regions do branch.)
             if "nok" in ablate:  # profiling aid: IO/launch floor
                 _chunk_nok()
                 return
@@ -304,7 +309,7 @@ def _decode_kernel(
             kcat = (jnp.concatenate(kparts, axis=0)
                     if len(kparts) > 1 else kparts[0])       # [D, CHUNK]
 
-            # ---- score pieces per block: scale folds into q --------------
+            # ---- score pieces: scale folds into q -------------------------
             kscale = sl(kscale_ref, 2).astype(f32)           # [CB, D]
             if use_mn:
                 mnq = _dot_f32(q32, sl(kmn_ref, 2).astype(f32),
@@ -314,53 +319,73 @@ def _decode_kernel(
                 kt_loc, kd_col = _split_oidx(koi)
                 iota_dko = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
                 iota_gko = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
-            pieces = []
-            for c in range(cb):
-                qs = (q32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
-                sc = _dot(qs, kcat[:, c * g:(c + 1) * g],
-                          (((1,), (0,))))                    # [GQ, g] f32
-                if use_mn:
-                    sc = sc + mnq[:, c:c + 1]
-                if ko:
-                    # q gathered at the outlier channels (one-hot dot),
-                    # folded with the stored deltas, scattered to the
-                    # outlier tokens. Replaces the reference's never-
-                    # implemented fused outlier slots
-                    # (modeling_llamagear.py:458-466).
-                    oh_d = (kd_col[c:c + 1, :] == iota_dko).astype(bf)
-                    qg = _dot(q_bf, oh_d, (((1,), (0,))))    # [GQ, KO] f32
-                    qgv = (qg * kov[c:c + 1, :]).astype(bf)
-                    wt = (kt_loc[c:c + 1, :] == iota_gko).astype(bf)
-                    sc = sc + _dot(qgv, wt, (((1,), (1,))))  # [GQ, g]
-                pieces.append(sc)
-            s = jnp.concatenate(pieces, axis=1)              # [GQ, CHUNK]
 
-            # ---- dual-region low-rank score correction -------------------
-            if use_lr:
+            def _k_outlier_piece(c):
+                # q gathered at the outlier channels (one-hot dot), folded
+                # with the stored deltas, scattered to the outlier tokens.
+                # Replaces the reference's never-implemented fused outlier
+                # slots (modeling_llamagear.py:458-466).
+                oh_d = (kd_col[c:c + 1, :] == iota_dko).astype(bf)
+                qg = _dot(q_bf, oh_d, (((1,), (0,))))        # [GQ, KO] f32
+                qgv = (qg * kov[c:c + 1, :]).astype(bf)
+                wt = (kt_loc[c:c + 1, :] == iota_gko).astype(bf)
+                return _dot(qgv, wt, (((1,), (1,))))         # [GQ, g]
+
+            def _scores_blockwise(include_ko):
+                pieces = []
+                for c in range(cb):
+                    qs = (q32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
+                    sc = _dot(qs, kcat[:, c * g:(c + 1) * g],
+                              (((1,), (0,))))                # [GQ, g] f32
+                    if use_mn:
+                        sc = sc + mnq[:, c:c + 1]
+                    if include_ko:
+                        sc = sc + _k_outlier_piece(c)
+                    pieces.append(sc)
+                return jnp.concatenate(pieces, axis=1)       # [GQ, CHUNK]
+
+            def _k_lr_fast():
+                # Whole chunk inside the prefill region: ONE shared P, and
+                # the prefill qt scales are uniform per rank (absmax over
+                # the whole span, cache._error_bases) — so fold BOTH base
+                # scales into the tiny [R, D] P factor and feed the int8 qt
+                # codes to the dot with a bare cast. No per-block scale
+                # expansion (rolls / one-hot dots / full-width multiplies)
+                # on the hot path.
+                p0 = sl(kpt_ref, 3)[0].astype(f32)           # [R, D]
+                if base8:
+                    p0 = p0 * (sl(kpts_ref, 2)[:, 0:1]
+                               * sl(kqts_ref, 2)[:, 0:1])    # [R, 1] f32
+                qp0 = _dot(q_bf, p0.astype(bf), (((1,), (1,))))  # [GQ, R]
+                kqt_bf = sl(kqt_ref, 2).astype(bf)           # cast only
+                return _dot(qp0.astype(bf), kqt_bf, (((1,), (0,))))
+
+            def _k_lr_slow():
                 kqt_bf = _deq_qt(kqt_ref, kqts_ref)          # [R, CHUNK] bf
+                ps = []
+                for c in range(cb):
+                    qpc = _dot(q_bf, _deq_p(kpt_ref, kpts_ref, c),
+                               (((1,), (1,))))               # [GQ, R]
+                    ps.append(_dot(qpc.astype(bf),
+                                   kqt_bf[:, c * g:(c + 1) * g],
+                                   (((1,), (0,)))))
+                return jnp.concatenate(ps, axis=1)
 
-                def _lr_fast(_):
-                    # whole chunk inside the prefill region: ONE shared P
-                    qp0 = _dot(q_bf, _deq_p(kpt_ref, kpts_ref, 0),
-                               (((1,), (1,))))               # [GQ, R] f32
-                    return _dot(qp0.astype(bf), kqt_bf, (((1,), (0,))))
-
-                def _lr_slow(_):
-                    ps = []
-                    for c in range(cb):
-                        qpc = _dot(q_bf, _deq_p(kpt_ref, kpts_ref, c),
-                                   (((1,), (1,))))           # [GQ, R]
-                        ps.append(_dot(qpc.astype(bf),
-                                       kqt_bf[:, c * g:(c + 1) * g],
-                                       (((1,), (0,)))))
-                    return jnp.concatenate(ps, axis=1)
-
-                if dual_region:
-                    s_lr = jax.lax.cond((nc + 1) * chunk <= prefill_len,
-                                        _lr_fast, _lr_slow, 0)
-                else:
-                    s_lr = _lr_slow(0)
-                s = s + s_lr
+            if kcvt and fast:
+                # kcvt_prefill: every prefill block shares ONE [D] scale/mn
+                # row, so a chunk inside the prefill region folds the scale
+                # into q ONCE and takes a single flash-shaped score dot.
+                qs0 = (q32 * kscale[0:1, :]).astype(bf)      # [GQ, D]
+                s = _dot(qs0, kcat, (((1,), (0,))))          # [GQ, CHUNK]
+                if use_mn:
+                    s = s + mnq[:, 0:1]
+                if ko:
+                    s = s + jnp.concatenate(
+                        [_k_outlier_piece(c) for c in range(cb)], axis=1)
+            else:
+                s = _scores_blockwise(bool(ko))
+            if use_lr:
+                s = s + (_k_lr_fast() if fast else _k_lr_slow())
 
             # ---- masking: padding prefix and beyond-comp_len tail --------
             if "nomask" not in ablate:  # profiling aid
@@ -411,15 +436,20 @@ def _decode_kernel(
                             [jnp.broadcast_to(mv[:, i:i + 1], (gq, v_group))
                              for i in range(ngv)], axis=1)
                 if use_lr:
-                    vqt_bf = _deq_qt(vqt_ref, vqts_ref)      # [R, CHUNK] bf
-
                     def _vlr_fast(_):
+                        # mirror of _k_lr_fast: per-rank base scales folded
+                        # into the tiny P factor; int8 qt codes cast-only.
+                        vqt_bf = sl(vqt_ref, 2).astype(bf)
                         u = _dot(p_bf, vqt_bf, (((1,), (1,))))   # [GQ, R]
-                        return _dot(u.astype(bf),
-                                    _deq_p(vpt_ref, vpts_ref, 0),
+                        p0v = sl(vpt_ref, 3)[0].astype(f32)      # [R, D]
+                        if base8:
+                            p0v = p0v * (sl(vpts_ref, 2)[:, 0:1]
+                                         * sl(vqts_ref, 2)[:, 0:1])
+                        return _dot(u.astype(bf), p0v.astype(bf),
                                     (((1,), (0,))))          # [GQ, D]
 
                     def _vlr_slow(_):
+                        vqt_bf = _deq_qt(vqt_ref, vqts_ref)  # [R, CHUNK]
                         accv = jnp.zeros((gq, d), f32)
                         for c in range(cb):
                             u_c = _dot(p_bf[:, c * g:(c + 1) * g],
@@ -430,12 +460,7 @@ def _decode_kernel(
                                                (((1,), (0,))))
                         return accv
 
-                    if dual_region:
-                        pv = pv + jax.lax.cond(
-                            (nc + 1) * chunk <= prefill_len,
-                            _vlr_fast, _vlr_slow, 0)
-                    else:
-                        pv = pv + _vlr_slow(0)
+                    pv = pv + (_vlr_fast(0) if fast else _vlr_slow(0))
                 if ko:
                     voi, vov = _ochunk(voi_ref, vov_ref)     # [CB, KO]
                     vt_loc, vd_col = _split_oidx(voi)
@@ -464,10 +489,19 @@ def _decode_kernel(
             m_ref[rows] = jnp.maximum(m_ref[rows], 0.0)
             l_ref[rows] = l_ref[rows] + 1.0
 
+        valid = nc * chunk < comp_len
+        dual = (dual_region and (use_lr or kcvt)
+                and not ({"ffast", "fslow", "nopred"} & ablate))
         if "nopred" in ablate:  # profiling aid: unconditional execution
-            _chunk()
+            _chunk("ffast" in ablate)
+        elif dual:
+            in_pre = (nc + 1) * chunk <= prefill_len
+            pl.when(jnp.logical_and(valid, in_pre))(
+                functools.partial(_chunk, True))
+            pl.when(jnp.logical_and(valid, jnp.logical_not(in_pre)))(
+                functools.partial(_chunk, False))
         else:
-            pl.when(nc * chunk < comp_len)(_chunk)
+            pl.when(valid)(functools.partial(_chunk, "ffast" in ablate))
 
         @pl.when(nc == pl.num_programs(1) - 1)
         def _finalize():
@@ -502,8 +536,9 @@ def _decode_attention_call(
     inputs: tuple,
     *,
     bits: int, group: int, v_group: int, blocks_per_chunk: int,
-    base8: bool, use_lr: bool, dual_region: bool, heads_per_step: int,
-    ko_present: bool, interpret: bool, ablate: frozenset,
+    base8: bool, use_lr: bool, dual_region: bool, kcvt: bool,
+    heads_per_step: int, ko_present: bool, interpret: bool,
+    ablate: frozenset,
 ):
     """Build and run the pallas_call. EVERY static decision derives from the
     input shapes, so the same function lowers correctly on per-shard local
@@ -539,7 +574,8 @@ def _decode_attention_call(
     kernel = functools.partial(
         _decode_kernel, bits=bits, group=group, v_group=v_group,
         blocks_per_chunk=cb, ko=ko, base8=base8, use_lr=use_lr,
-        dual_region=dual_region, hb=hb, interpret=interpret, ablate=ablate)
+        dual_region=dual_region, kcvt=kcvt, hb=hb, interpret=interpret,
+        ablate=ablate)
 
     in_specs = [
         pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
@@ -608,7 +644,7 @@ def _partitioned_decode(statics, arg_ranks: tuple):
 
     kw = dict(zip(
         ("bits", "group", "v_group", "blocks_per_chunk", "base8", "use_lr",
-         "dual_region", "heads_per_step", "ko_present", "interpret",
+         "dual_region", "kcvt", "heads_per_step", "ko_present", "interpret",
          "ablate"), statics))
 
     def impl(*tensors):
@@ -648,7 +684,7 @@ def _partitioned_decode(statics, arg_ranks: tuple):
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "v_group", "blocks_per_chunk",
-                     "hkv", "base8", "use_lr", "dual_region",
+                     "hkv", "base8", "use_lr", "dual_region", "kcvt",
                      "heads_per_step", "interpret", "ablate"),
 )
 def decode_attention(
@@ -684,6 +720,7 @@ def decode_attention(
     base8: bool = False,
     use_lr: bool = True,
     dual_region: bool = True,
+    kcvt: bool = False,
     heads_per_step: int = 1,
     interpret: bool = False,
     ablate: frozenset = frozenset(),
@@ -713,7 +750,7 @@ def decode_attention(
         inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
 
     statics = (bits, group, v_group, blocks_per_chunk, base8, use_lr,
-               dual_region, heads_per_step, k_out_idx is not None,
+               dual_region, kcvt, heads_per_step, k_out_idx is not None,
                interpret, ablate)
     f = _partitioned_decode(statics, tuple(x.ndim for x in inputs))
     return f(*inputs)
@@ -804,6 +841,7 @@ def attend_fused(
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
         blocks_per_chunk=blocks_per_chunk, hkv=hkv, base8=base8,
         use_lr=use_lr, dual_region=dual_region,
+        kcvt=getattr(spec, "kcvt_prefill", False),
         heads_per_step=heads_per_step, interpret=interpret,
         ablate=ablate,
     )

@@ -114,6 +114,10 @@ class ModelConfig:
             prefill_rank=comp.prefill_rank,
             lowrank_loop=comp.loop,
             outliers_per_block=ko,
+            # *-KCVT = K per-channel with group = seq_len
+            # (compress_function.py:441-452): the fused-path analog scales
+            # the whole prefill span with one per-channel sideband.
+            kcvt_prefill=comp.compress_method.endswith("KCVT"),
             dtype=self.dtype,
             sideband_dtype=self.dtype,
         )

@@ -120,12 +120,14 @@ def main():
             is_l = name.startswith("gearl")
             spec_s = name[5 if is_l else 4:] or "16"
             spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
-            gbits, abl = 2, []
+            gbits, abl, kcvt = 2, [], False
             if ":" in spec_s:
                 spec_s, mod_s = spec_s.split(":", 1)
                 for tokn in mod_s.split("+"):
                     if tokn.isdigit():
                         gbits = int(tokn)
+                    elif tokn == "c":
+                        kcvt = True  # kcvt_prefill (whole-span K scales)
                     elif tokn:
                         abl.append(tokn)
             cbg = int(spec_s or "16")
@@ -135,7 +137,7 @@ def main():
                 prefill_rank=2 if is_l else 4,
                 lowrank_loop=3, base_bits=8,
                 outliers_per_block=0 if is_l else 164,
-                v_group_size=D, dtype=jnp.bfloat16,
+                v_group_size=D, kcvt_prefill=kcvt, dtype=jnp.bfloat16,
                 sideband_dtype=jnp.bfloat16)
             gcache = C.prefill(gspec, k, v)
             np.asarray(gcache.comp_len)

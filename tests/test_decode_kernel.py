@@ -191,3 +191,34 @@ def test_kernel_dual_region_slow_path(rng):
     got = K.attend_fused(spec, forced, q, blocks_per_chunk=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-4)
+
+@pytest.mark.parametrize("ko", [0, 8])
+def test_kernel_kcvt_prefill(rng, ko):
+    """kcvt_prefill: whole-span per-channel K scales (KCVT K grouping,
+    compress_function.py:441-452) replicated per block; the kernel's
+    fast path folds the scale into q once per chunk. Must match the XLA
+    reference on BOTH regions (prefill fast path + decode-flushed slow
+    path) and agree with the slow path when prefill_len is forced down."""
+    spec = mk_spec(bits=2, kcvt_prefill=True, base_bits=8,
+                   outliers_per_block=ko, max_len=512)
+    cache = rand_cache(rng, spec, 320)
+    # push two decode-flushed blocks beyond the prefill region
+    key = jax.random.PRNGKey(3)
+    app = jax.jit(lambda c, kn, vn: C.append(spec, c, kn, vn, key=key))
+    for i in range(130):
+        shape = (spec.batch, spec.num_kv_heads, 1, spec.head_dim)
+        kn = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        vn = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        cache = app(cache, kn, vn)
+    assert int(cache.comp_len) > int(cache.prefill_len)
+    q = jnp.asarray(rng.standard_normal(
+        (spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, blocks_per_chunk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+    # fast path == slow path on the shared-scale region
+    forced = cache.replace(prefill_len=jnp.int32(0))
+    got2 = K.attend_fused(spec, forced, q, blocks_per_chunk=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=1e-3, atol=1e-4)
