@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-HB = 4  # kernel heads_per_step (amortizes grid-step overhead; see kbench)
+HB = 4   # kernel heads_per_step (amortizes grid-step overhead; see kbench)
+CB = 32  # blocks_per_chunk (2048-token chunks measured fastest at 8k ctx)
 
 RESULT = {
     "metric": ("decode attention tok/s/chip (INT2 GEARL-KIVI, the reference "
@@ -92,8 +93,13 @@ def make_specs():
     # reference canonical accuracy config (run_template_llama2-13b.sh:4)
     spec_gear2 = C.CacheSpec(bits=2, rank=2, prefill_rank=4, base_bits=8,
                              outliers_per_block=164, v_group_size=128, **base)
+    # GEARL-KCVT (run_template_llama2-13b.sh:8): whole-span K scales ->
+    # single flash-shaped score dot per prefill chunk (fastest config)
+    spec_gearlkcvt2 = C.CacheSpec(bits=2, rank=2, prefill_rank=2,
+                                  base_bits=8, v_group_size=128,
+                                  kcvt_prefill=True, **base)
     spec_gearl4 = C.CacheSpec(bits=4, rank=4, prefill_rank=4, **base)
-    return spec_gearl2, spec_gear2, spec_gearl4
+    return spec_gearl2, spec_gear2, spec_gearlkcvt2, spec_gearl4
 
 
 def attention_config(name, spec, k, v, q, dt_bf16):
@@ -103,10 +109,10 @@ def attention_config(name, spec, k, v, q, dt_bf16):
     cache = C.prefill(spec, k, v)
     np.asarray(cache.comp_len)
     dt = bench_loop(
-        lambda c, x, s=spec: K.attend_fused(s, c, x, blocks_per_chunk=16,
+        lambda c, x, s=spec: K.attend_fused(s, c, x, blocks_per_chunk=CB,
                                             heads_per_step=HB),
         cache, q, N)
-    got = np.asarray(K.attend_fused(spec, cache, q, blocks_per_chunk=16,
+    got = np.asarray(K.attend_fused(spec, cache, q, blocks_per_chunk=CB,
                                     heads_per_step=HB), np.float32)
     want = np.asarray(C.attend(spec, cache, q), np.float32)
     rel = float(np.abs(got - want).mean() / np.abs(want).mean())
@@ -190,7 +196,7 @@ def main():
     from gear_tpu import cache as C
     from gear_tpu.models import llama as L
 
-    spec_gearl2, spec_gear2, spec_gearl4 = make_specs()
+    spec_gearl2, spec_gear2, spec_gearlkcvt2, spec_gearl4 = make_specs()
     shape = (1, HEADS, CTX, HEAD_DIM)
     k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
@@ -216,16 +222,22 @@ def main():
         attention_config("int2_gear", spec_gear2, k, v, q, dt_bf16)
     except Exception as e:
         RESULT["int2_gear_error"] = repr(e)[:200]
-    # 3. full-model decode loop
+    # 2b. GEARL-KCVT (fastest reference config)
     try:
-        RESULT.update(model_bench(rng))
-    except Exception as e:  # model-level is additive; never lose the line
-        RESULT["model_error"] = repr(e)[:200]
-    # 4. INT4 continuity config
+        attention_config("int2_gearl_kcvt", spec_gearlkcvt2, k, v, q, dt_bf16)
+    except Exception as e:
+        RESULT["int2_gearl_kcvt_error"] = repr(e)[:200]
+    # 3. INT4 continuity config (cheap — attention only)
     try:
         attention_config("int4_gearl", spec_gearl4, k, v, q, dt_bf16)
     except Exception as e:
         RESULT["int4_gearl_error"] = repr(e)[:200]
+    # 4. full-model decode loop (heaviest remote compile — goes last so the
+    # watchdog can only ever cost this one)
+    try:
+        RESULT.update(model_bench(rng))
+    except Exception as e:  # model-level is additive; never lose the line
+        RESULT["model_error"] = repr(e)[:200]
     print(json.dumps(RESULT))
 
 
