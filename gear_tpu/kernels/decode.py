@@ -321,10 +321,34 @@ def _decode_kernel(
                 iota_gko = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
 
             def _k_outlier_piece(c):
-                # q gathered at the outlier channels (one-hot dot), folded
-                # with the stored deltas, scattered to the outlier tokens.
-                # Replaces the reference's never-implemented fused outlier
-                # slots (modeling_llamagear.py:458-466).
+                # q gathered at the outlier channels, folded with the
+                # stored deltas, scattered to the outlier tokens (one-hot
+                # dot). Replaces the reference's never-implemented fused
+                # outlier slots (modeling_llamagear.py:458-466).
+                #
+                # The gather side uses the hardware lane gather when
+                # eligible (v5e: take_along_axis on exactly [*, 128] f32
+                # with same-width int32 indices) — one instruction vs a
+                # [D, KO] one-hot BUILD + MXU dot; the builds are the
+                # dominant outlier cost (docs/STATUS.md round-3 #6).
+                if d == 128:
+                    out = None
+                    for lo in range(0, ko, 128):
+                        w = min(128, ko - lo)
+                        idx = kd_col[c:c + 1, lo:lo + w]     # [1, w]
+                        if w < 128:
+                            idx = jnp.concatenate(
+                                [idx, jnp.zeros((1, 128 - w), jnp.int32)],
+                                axis=1)
+                        qg = jnp.take_along_axis(
+                            q32, jnp.broadcast_to(idx, (gq, 128)), axis=1)
+                        qgv = (qg[:, :w]
+                               * kov[c:c + 1, lo:lo + w]).astype(bf)
+                        wt = (kt_loc[c:c + 1, lo:lo + w]
+                              == iota_gko[:, :w]).astype(bf)  # [g, w]
+                        piece = _dot(qgv, wt, (((1,), (1,))))
+                        out = piece if out is None else out + piece
+                    return out                               # [GQ, g]
                 oh_d = (kd_col[c:c + 1, :] == iota_dko).astype(bf)
                 qg = _dot(q_bf, oh_d, (((1,), (0,))))        # [GQ, KO] f32
                 qgv = (qg * kov[c:c + 1, :]).astype(bf)
@@ -468,7 +492,37 @@ def _decode_kernel(
                         jnp.int32, (d, ko), 0)
                     iota_gko = jax.lax.broadcasted_iota(
                         jnp.int32, (g, ko), 0)
+                    # gather side via the hardware lane gather when a
+                    # 128-lane window of p aligns with whole blocks (see
+                    # _k_outlier_piece); the attention weights at the
+                    # outlier tokens come from a [GQ, 128] f32 window of p
+                    # covering block c, at lane offset (c*g) % 128.
+                    vgather = g in (64, 128) and chunk % 128 == 0
                     for c in range(cb):
+                        if vgather:
+                            w0 = (c * g) // 128 * 128
+                            off = (c * g) % 128
+                            win = p[:, w0:w0 + 128]          # f32 [GQ, 128]
+                            pvc = None
+                            for lo in range(0, ko, 128):
+                                w = min(128, ko - lo)
+                                idx = vt_loc[c:c + 1, lo:lo + w] + off
+                                if w < 128:
+                                    idx = jnp.concatenate(
+                                        [idx,
+                                         jnp.zeros((1, 128 - w), jnp.int32)],
+                                        axis=1)
+                                pg = jnp.take_along_axis(
+                                    win, jnp.broadcast_to(idx, (gq, 128)),
+                                    axis=1)
+                                pgv = (pg[:, :w]
+                                       * vov[c:c + 1, lo:lo + w]).astype(bf)
+                                oh_d = (vd_col[c:c + 1, lo:lo + w]
+                                        == iota_dko[:, :w]).astype(bf)
+                                dd = _dot(pgv, oh_d, (((1,), (1,))))
+                                pvc = dd if pvc is None else pvc + dd
+                            pv = pv + pvc
+                            continue
                         wt = (vt_loc[c:c + 1, :] == iota_gko).astype(bf)
                         pg = _dot(p_bf[:, c * g:(c + 1) * g], wt,
                                   (((1,), (0,))))            # [GQ, KO] f32
