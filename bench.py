@@ -1,37 +1,56 @@
 """Headline benchmark: fused compressed-KV decode vs bf16 baseline (real TPU).
 
-Measures the BASELINE.json north-star components on the real chip, in
-priority order (the SIGALRM watchdog emits whatever is done if the tunneled
-TPU wedges mid-run):
+Measures the BASELINE.json north-star components on the real chip. Hardened
+against the tunneled-TPU failure mode where a wedged device hangs every op
+(including h2d) indefinitely:
 
+  * a HEALTH PROBE (tiny matmul, short alarm) runs before anything else;
+    if the device is wedged the script emits an error JSON and exits fast;
+  * every stage runs under its OWN alarm sub-budget, and the cumulative
+    RESULT line is printed+flushed after EVERY stage — the driver's record
+    keeps whatever finished, no matter where a later stage dies;
+  * the HEADLINE config runs FIRST (its us/step is meaningful alone); the
+    bf16 baseline runs second and vs_baseline is backfilled;
+  * on the first in-stage hang the script emits and exits: once one op
+    wedges, every later op queues behind it (observed r2/r3), so burning
+    the remaining budgets is pure loss.
+
+Stage order (reference speed protocol: cuda_supported_gear/test.py:25-37,
+95-102 — batch generate wall-clock on a fused INT2 gearlKIVI config):
   1. HEADLINE — decode attention at 8k context, Llama-2-7B attention shapes
      (32 heads, head_dim 128), INT2 GEARL-KIVI: bit2 / group64 / rank2 /
      loop3, int8 low-rank bases, per-token V quant over the full head dim.
-     This mirrors the reference's OWN speed protocol config ``gearlKIVI``
-     (cuda_supported_gear/test.py:30-37) — its fused CUDA path never ran
-     outliers (modeling_llamagear.py:458-466, slots always None), so GEARL
-     is the apples-to-apples speed recipe. Baseline = uncompressed bf16 XLA
-     attention.
-  2. INT2 GEAR canonical ACCURACY config (+2% exact COO outliers,
+     The reference's fused CUDA path never ran outliers
+     (modeling_llamagear.py:458-466, slots always None), so GEARL is the
+     apples-to-apples speed recipe. Baseline = uncompressed bf16 XLA attn.
+  2. bf16 baseline -> vs_baseline backfill.
+  3. INT2 GEAR canonical ACCURACY config (+2% exact COO outliers,
      prefill_rank 4 — run_template_llama2-13b.sh:4): the full recipe in ONE
      Pallas pass, beyond the reference's fused path.
-  3. A REAL 16-layer model decode loop (2048 hidden, MLP + scan + sampling
-     path included) fused vs bf16 — tok/s from an actual forward pass.
-  4. INT4 GEARL (round-1 continuity config).
+  4. GEARL-KCVT (run_template_llama2-13b.sh:8) — fastest config.
+  5. INT4 GEARL (round-1 continuity config).
+  6. A REAL 16-layer model decode loop (MLP + scan + sampling included).
 
-Prints ONE JSON line; "value"/"vs_baseline" refer to metric 1.
+Prints cumulative JSON lines; the LAST line is the record.
 """
 import json
+import os
 import signal
 import sys
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
+if os.environ.get("BENCH_CPU"):  # smoke-test mode (tests/test_bench_smoke.py)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+INTERPRET = bool(os.environ.get("BENCH_CPU"))  # Pallas interpret on CPU
 HB = 4   # kernel heads_per_step (amortizes grid-step overhead; see kbench)
 CB = 32  # blocks_per_chunk (2048-token chunks measured fastest at 8k ctx)
+
+T0 = time.time()
+GLOBAL_BUDGET = 545  # driver gives ~590s
 
 RESULT = {
     "metric": ("decode attention tok/s/chip (INT2 GEARL-KIVI, the reference "
@@ -41,17 +60,74 @@ RESULT = {
 }
 
 
-def _watchdog(seconds: int = 530):
-    """The tunneled TPU runtime can wedge (device ops hang indefinitely);
-    emit what we have instead of hanging the driver."""
-    def fire(signum, frame):
-        RESULT["error"] = f"watchdog: TPU unresponsive after {seconds}s"
-        print(json.dumps(RESULT))
-        sys.stdout.flush()
-        import os
-        os._exit(2)
-    signal.signal(signal.SIGALRM, fire)
-    signal.alarm(seconds)
+def emit():
+    print(json.dumps(RESULT))
+    sys.stdout.flush()
+
+
+def emit_and_exit(code=0):
+    emit()
+    import os
+    os._exit(code)
+
+
+_STAGE = {"name": "init", "budget": 0, "retry_left": 0}
+
+
+def _on_alarm(signum, frame):
+    # A Python exception raised here would stay pending while a hung device
+    # call keeps blocking (handlers run, but the C call never returns), and
+    # once one op wedges every later op queues behind it — so the only
+    # useful move on timeout is: record, emit, exit. (Direct emit from the
+    # handler is proven to work on this tunnel — r2/r3 watchdog lines.)
+    name = _STAGE["name"]
+    RESULT[f"{name}_error"] = f"timeout after {_STAGE['budget']}s"
+    if _STAGE["retry_left"] > 0:
+        RESULT["error"] = "device wedged at start (health probe hung)"
+    else:
+        RESULT["error"] = f"device hung in stage {name!r}"
+    emit_and_exit()
+
+
+signal.signal(signal.SIGALRM, _on_alarm)
+
+
+def remaining():
+    return GLOBAL_BUDGET - (time.time() - T0)
+
+
+def run_stage(name, budget_s, fn):
+    """Run fn under min(budget_s, remaining-global) seconds. On timeout the
+    device is assumed wedged (all later ops would queue behind the hung
+    one): the alarm handler emits what we have and exits. Python-level
+    exceptions are recorded and the next stage still runs."""
+    budget = int(min(budget_s, remaining()))
+    if budget <= 5:
+        RESULT.setdefault("error", "global budget exhausted before " + name)
+        emit_and_exit()
+    _STAGE.update(name=name, budget=budget)
+    signal.alarm(budget)
+    t0 = time.time()
+    try:
+        fn()
+        return True
+    except Exception as e:  # noqa: BLE001 — never lose the line
+        RESULT[f"{name}_error"] = repr(e)[:200]
+        return False
+    finally:
+        signal.alarm(0)
+        RESULT[f"s_{name}"] = round(time.time() - t0, 1)
+        emit()
+
+
+def health_probe():
+    """Backend init + one tiny device round trip. ~5s healthy (+20-30s once
+    for backend init); minutes-to-never when the tunnel is wedged."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.full((128, 128), 1.0 + (time.time() % 7))  # defeat memoization
+    y = np.asarray(x @ x)
+    assert np.isfinite(y).all()
 
 
 def bench_loop(f, c, q, n):
@@ -61,6 +137,9 @@ def bench_loop(f, c, q, n):
     block_until_ready can return early — every iteration perturbs the
     input and the only reliable sync is a device->host fetch.
     """
+    import jax
+    import numpy as np
+
     @jax.jit
     def loop(cache, q):
         def body(i, x):
@@ -78,43 +157,53 @@ def bench_loop(f, c, q, n):
     return best
 
 
-CTX, HEADS, HEAD_DIM, LAYERS, N = 8192, 32, 128, 32, 250
+CTX = int(os.environ.get("BENCH_CTX", 8192))
+HEADS = int(os.environ.get("BENCH_HEADS", 32))
+HEAD_DIM, LAYERS = 128, 32
+N = int(os.environ.get("BENCH_N", 250))
 
 
-def make_specs():
+def make_spec(**kw):
+    import jax.numpy as jnp
     from gear_tpu import cache as C
-
     base = dict(batch=1, num_kv_heads=HEADS, head_dim=HEAD_DIM, max_len=CTX,
                 group=64, lowrank_loop=3, dtype=jnp.bfloat16,
                 sideband_dtype=jnp.bfloat16)
-    # reference speed protocol (gearlKIVI, test.py:30-37) at int8 bases
-    spec_gearl2 = C.CacheSpec(bits=2, rank=2, prefill_rank=2, base_bits=8,
-                              v_group_size=128, **base)
-    # reference canonical accuracy config (run_template_llama2-13b.sh:4)
-    spec_gear2 = C.CacheSpec(bits=2, rank=2, prefill_rank=4, base_bits=8,
-                             outliers_per_block=164, v_group_size=128, **base)
-    # GEARL-KCVT (run_template_llama2-13b.sh:8): whole-span K scales ->
-    # single flash-shaped score dot per prefill chunk (fastest config)
-    spec_gearlkcvt2 = C.CacheSpec(bits=2, rank=2, prefill_rank=2,
-                                  base_bits=8, v_group_size=128,
-                                  kcvt_prefill=True, **base)
-    spec_gearl4 = C.CacheSpec(bits=4, rank=4, prefill_rank=4, **base)
-    return spec_gearl2, spec_gear2, spec_gearlkcvt2, spec_gearl4
+    base.update(kw)
+    return C.CacheSpec(**base)
 
 
-def attention_config(name, spec, k, v, q, dt_bf16):
+class Ctx:
+    """Shared device tensors, built lazily inside the first stage."""
+    k = v = q = None
+    dt_bf16 = None
+
+    @classmethod
+    def init(cls):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        shape = (1, HEADS, CTX, HEAD_DIM)
+        cls.k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        cls.v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        cls.q = jnp.asarray(rng.standard_normal(
+            (1, HEADS, 1, HEAD_DIM)).astype(np.float32)).astype(jnp.bfloat16)
+
+
+def attention_config(name, spec):
     from gear_tpu import cache as C
     from gear_tpu.kernels import decode as K
 
-    cache = C.prefill(spec, k, v)
+    cache = C.prefill(spec, Ctx.k, Ctx.v)
     np.asarray(cache.comp_len)
     dt = bench_loop(
         lambda c, x, s=spec: K.attend_fused(s, c, x, blocks_per_chunk=CB,
-                                            heads_per_step=HB),
-        cache, q, N)
-    got = np.asarray(K.attend_fused(spec, cache, q, blocks_per_chunk=CB,
-                                    heads_per_step=HB), np.float32)
-    want = np.asarray(C.attend(spec, cache, q), np.float32)
+                                            heads_per_step=HB,
+                                            interpret=INTERPRET),
+        cache, Ctx.q, N)
+    got = np.asarray(K.attend_fused(spec, cache, Ctx.q, blocks_per_chunk=CB,
+                                    heads_per_step=HB, interpret=INTERPRET),
+                     np.float32)
+    want = np.asarray(C.attend(spec, cache, Ctx.q), np.float32)
     rel = float(np.abs(got - want).mean() / np.abs(want).mean())
     assert np.isfinite(got).all() and rel < 0.05, f"{name} mismatch {rel}"
     RESULT[f"us_per_step_{name}"] = round(dt * 1e6, 1)
@@ -122,20 +211,72 @@ def attention_config(name, spec, k, v, q, dt_bf16):
     RESULT[f"kv_compression_{name}"] = round(
         spec.bytes_fp16_baseline() / spec.bytes_compressed(), 2)
     RESULT[f"tok_s_{name}"] = round(1.0 / (dt * LAYERS), 1)
-    RESULT[f"vs_baseline_{name}"] = round(dt_bf16 / dt, 3)
+    if RESULT.get("us_per_step_bf16"):
+        RESULT[f"vs_baseline_{name}"] = round(
+            RESULT["us_per_step_bf16"] / RESULT[f"us_per_step_{name}"], 3)
 
 
-def model_bench(rng):
-    """Real forward-pass decode: 16 layers, MLP + scan + logits included,
-    one residual-tier flush sampled inside the timed window."""
+def stage_headline():
+    Ctx.init()
+    spec = make_spec(bits=2, rank=2, prefill_rank=2, base_bits=8,
+                     v_group_size=128)
+    attention_config("int2_gearl", spec)
+    RESULT["value"] = RESULT["tok_s_int2_gearl"]
+
+
+def stage_bf16():
+    from gear_tpu import cache as C
+    from gear_tpu.models import llama as L
+    import jax.numpy as jnp
+
+    spec = make_spec(bits=4, rank=4, prefill_rank=4)
+    rc = L.raw_prefill(spec, Ctx.k.astype(jnp.bfloat16),
+                       Ctx.v.astype(jnp.bfloat16))
+    np.asarray(rc.k[0, 0, 0, :1])
+    dt = bench_loop(lambda c, x: L.raw_attend(spec, c, x), rc, Ctx.q, N)
+    RESULT["us_per_step_bf16"] = round(dt * 1e6, 1)
+    # backfill vs_baseline for stages that already ran
+    for name in ("int2_gearl", "int2_gear", "int2_gearl_kcvt", "int4_gearl"):
+        key = f"us_per_step_{name}"
+        if key in RESULT:
+            RESULT[f"vs_baseline_{name}"] = round(
+                RESULT["us_per_step_bf16"] / RESULT[key], 3)
+    if "vs_baseline_int2_gearl" in RESULT:
+        RESULT["vs_baseline"] = RESULT["vs_baseline_int2_gearl"]
+
+
+def stage_gear_outliers():
+    spec = make_spec(bits=2, rank=2, prefill_rank=4, base_bits=8,
+                     outliers_per_block=164, v_group_size=128)
+    attention_config("int2_gear", spec)
+
+
+def stage_kcvt():
+    spec = make_spec(bits=2, rank=2, prefill_rank=2, base_bits=8,
+                     v_group_size=128, kcvt_prefill=True)
+    attention_config("int2_gearl_kcvt", spec)
+
+
+def stage_int4():
+    spec = make_spec(bits=4, rank=4, prefill_rank=4)
+    attention_config("int4_gearl", spec)
+
+
+def stage_model():
+    """Real forward-pass decode: 16 layers, MLP + scan + logits included."""
+    import jax
+    import jax.numpy as jnp
     from gear_tpu import cache as C
     from gear_tpu.models import llama as L
 
+    rng = np.random.default_rng(1)
+    NL = int(os.environ.get("BENCH_MODEL_LAYERS", 16))
+    MCTX = int(os.environ.get("BENCH_MODEL_CTX", 8192))
     cfg = L.ModelConfig(vocab_size=32000, hidden_size=2048,
-                        intermediate_size=5632, num_layers=16,
+                        intermediate_size=5632, num_layers=NL,
                         num_heads=16, num_kv_heads=16, head_dim=128,
-                        max_position_embeddings=8192)
-    MCTX, PRE, MN = 8192, 8100, 40
+                        max_position_embeddings=MCTX)
+    PRE, MN = MCTX - 92, int(os.environ.get("BENCH_MODEL_STEPS", 40))
     params = L.init_params(jax.random.PRNGKey(0), cfg)
     spec = C.CacheSpec(batch=1, num_kv_heads=16, head_dim=128, max_len=MCTX,
                        bits=2, group=64, rank=2, prefill_rank=2,
@@ -180,65 +321,31 @@ def model_bench(rng):
             best = dt if best is None else min(best, dt)
         return best
 
-    dt_fused = run(True, "pallas")
+    dt_fused = run(True, "pallas_interpret" if INTERPRET else "pallas")
+    RESULT["model_tok_s_fused"] = round(1.0 / dt_fused, 1)
+    RESULT["model_config"] = "16L x 2048h, 8k ctx, INT2 GEARL, B=1"
+    emit()
     dt_raw = run(False, "xla")
-    return {
-        "model_tok_s_fused": round(1.0 / dt_fused, 1),
-        "model_tok_s_bf16": round(1.0 / dt_raw, 1),
-        "model_vs_baseline": round(dt_raw / dt_fused, 3),
-        "model_config": "16L x 2048h, 8k ctx, INT2 GEARL, B=1",
-    }
+    RESULT["model_tok_s_bf16"] = round(1.0 / dt_raw, 1)
+    RESULT["model_vs_baseline"] = round(dt_raw / dt_fused, 3)
 
 
 def main():
-    _watchdog()
-    rng = np.random.default_rng(0)
-    from gear_tpu import cache as C
-    from gear_tpu.models import llama as L
-
-    spec_gearl2, spec_gear2, spec_gearlkcvt2, spec_gearl4 = make_specs()
-    shape = (1, HEADS, CTX, HEAD_DIM)
-    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-    q = jnp.asarray(
-        rng.standard_normal((1, HEADS, 1, HEAD_DIM)).astype(np.float32)
-    ).astype(jnp.bfloat16)
-
-    # bf16 baseline (uncompressed XLA attention)
-    rc = L.raw_prefill(spec_gearl4, k.astype(jnp.bfloat16),
-                       v.astype(jnp.bfloat16))
-    np.asarray(rc.k[0, 0, 0, :1])
-    dt_bf16 = bench_loop(lambda c, x: L.raw_attend(spec_gearl4, c, x),
-                         rc, q, N)
-    RESULT["us_per_step_bf16"] = round(dt_bf16 * 1e6, 1)
-    del rc
-
-    # 1. headline
-    attention_config("int2_gearl", spec_gearl2, k, v, q, dt_bf16)
-    RESULT["value"] = RESULT["tok_s_int2_gearl"]
-    RESULT["vs_baseline"] = RESULT["vs_baseline_int2_gearl"]
-    # 2. canonical accuracy config with outliers
-    try:
-        attention_config("int2_gear", spec_gear2, k, v, q, dt_bf16)
-    except Exception as e:
-        RESULT["int2_gear_error"] = repr(e)[:200]
-    # 2b. GEARL-KCVT (fastest reference config)
-    try:
-        attention_config("int2_gearl_kcvt", spec_gearlkcvt2, k, v, q, dt_bf16)
-    except Exception as e:
-        RESULT["int2_gearl_kcvt_error"] = repr(e)[:200]
-    # 3. INT4 continuity config (cheap — attention only)
-    try:
-        attention_config("int4_gearl", spec_gearl4, k, v, q, dt_bf16)
-    except Exception as e:
-        RESULT["int4_gearl_error"] = repr(e)[:200]
-    # 4. full-model decode loop (heaviest remote compile — goes last so the
-    # watchdog can only ever cost this one)
-    try:
-        RESULT.update(model_bench(rng))
-    except Exception as e:  # model-level is additive; never lose the line
-        RESULT["model_error"] = repr(e)[:200]
-    print(json.dumps(RESULT))
+    # Health probe: label a start-of-run wedge distinctly so the record says
+    # "never healthy" rather than "hung mid-benchmark".
+    _STAGE["retry_left"] = 1
+    ok = run_stage("health", 120, health_probe)
+    if not ok:
+        RESULT["error"] = "device unhealthy at start"
+        emit_and_exit()
+    _STAGE["retry_left"] = 0
+    run_stage("int2_gearl", 240, stage_headline)
+    run_stage("bf16", 130, stage_bf16)
+    run_stage("int2_gear", 120, stage_gear_outliers)
+    run_stage("int2_gearl_kcvt", 90, stage_kcvt)
+    run_stage("int4_gearl", 90, stage_int4)
+    run_stage("model", remaining() - 10, stage_model)
+    emit()
 
 
 if __name__ == "__main__":

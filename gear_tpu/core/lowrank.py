@@ -22,6 +22,7 @@ def power_iterate(
     rank: int,
     n_iter: int,
     key: jax.Array | None = None,
+    p0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Rank-``rank`` approximation of ``x`` [..., s, d] -> (P [..., d, r], Q [..., s, r]).
 
@@ -30,7 +31,10 @@ def power_iterate(
     ``n_iter`` matmul pairs + 2 thin-QRs). ``x ~= Q @ P^T``.
 
     If ``key`` is None a fixed fold-in of the shape is used so results are
-    deterministic under jit without threading PRNG state.
+    deterministic under jit without threading PRNG state. ``p0`` optionally
+    injects the initial P basis [..., d, rank] (used by the golden parity
+    tests to feed the SAME random init to the reference torch implementation,
+    fake_poweriteration_group / true_poweriteration).
     """
     if rank <= 0 or n_iter <= 0:
         raise ValueError("rank and n_iter must be positive")
@@ -39,7 +43,10 @@ def power_iterate(
     if key is None:
         key = jax.random.PRNGKey(0)
     # Uniform [0,1) init, like the reference's torch.rand.
-    p = jax.random.uniform(key, (*batch, d, rank), dtype=jnp.float32)
+    if p0 is not None:
+        p = jnp.broadcast_to(p0.astype(jnp.float32), (*batch, d, rank))
+    else:
+        p = jax.random.uniform(key, (*batch, d, rank), dtype=jnp.float32)
     q = jnp.zeros((*batch, s, rank), jnp.float32)
     for i in range(n_iter):
         if i == n_iter - 1:

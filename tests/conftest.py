@@ -30,3 +30,8 @@ def rng():
 
 def has_n_cpu_devices(n: int) -> bool:
     return jax.device_count() >= n
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running subprocess smokes (bench, eval)")
