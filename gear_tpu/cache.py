@@ -55,6 +55,12 @@ class CacheSpec:
     group: int = 64       # time-group for K == head-dim group for V == residual len
     rank: int = 2         # decode-flush rank for the low-rank error bases
     prefill_rank: int = 4
+    rank_v: int = -1      # V-side ranks; -1 = same as K (the reference's
+    prefill_rank_v: int = -1  # rank/rankv + prefillrank/prefillrankv flags,
+                          # evaluation_gsm8k.py:280-330). Base leaves are
+                          # padded to r_store, so asymmetric ranks only
+                          # change which columns are zero — the fused kernel
+                          # needs no shape changes.
     lowrank_loop: int = 3
     base_bits: int = 16   # 16 = bf16 P/Q bases; 8 = int8-quantized bases
                           # (reference: true_poweriteration_quantized,
@@ -130,11 +136,21 @@ class CacheSpec:
         return self.head_dim // self.v_group
 
     @property
+    def rank_v_eff(self) -> int:
+        return self.rank if self.rank_v < 0 else self.rank_v
+
+    @property
+    def prefill_rank_v_eff(self) -> int:
+        return self.prefill_rank if self.prefill_rank_v < 0 \
+            else self.prefill_rank_v
+
+    @property
     def r_store(self) -> int:
         # at least one (zero) column: zero-size base leaves would need
         # zero-size Pallas blocks, which neither Mosaic nor the interpreter
         # accept (rank 0 = UNIFORM/KIVI configs).
-        return max(self.rank, self.prefill_rank, 1)
+        return max(self.rank, self.prefill_rank, self.rank_v_eff,
+                   self.prefill_rank_v_eff, 1)
 
     @property
     def k_words(self) -> int:
@@ -570,11 +586,16 @@ def _error_bases(spec: CacheSpec, x, x_hat, rank: int, key):
     x, x_hat: [B,H,S,D]. Returns (P [B,H,D,r_store], Q [B,H,S,r_store]).
     """
     err = x.astype(jnp.float32) - x_hat.astype(jnp.float32)
-    p, q = lowrank.power_iterate(err, rank, spec.lowrank_loop, key)
-    pad = spec.r_store - rank
-    if pad:
-        p = jnp.pad(p, ((0, 0),) * (p.ndim - 1) + ((0, pad),))
-        q = jnp.pad(q, ((0, 0),) * (q.ndim - 1) + ((0, pad),))
+    if rank <= 0:  # one side of an asymmetric rank/rank_v config may be 0
+        b, h, s, d = x.shape
+        p = jnp.zeros((b, h, d, spec.r_store), jnp.float32)
+        q = jnp.zeros((b, h, s, spec.r_store), jnp.float32)
+    else:
+        p, q = lowrank.power_iterate(err, rank, spec.lowrank_loop, key)
+        pad = spec.r_store - rank
+        if pad:
+            p = jnp.pad(p, ((0, 0),) * (p.ndim - 1) + ((0, pad),))
+            q = jnp.pad(q, ((0, 0),) * (q.ndim - 1) + ((0, pad),))
     qt = jnp.swapaxes(q, -1, -2)  # [..., r_store, S]
     if spec.base_bits == 8:
         # int8 symmetric absmax per rank column (reference
@@ -651,14 +672,15 @@ def prefill(
                 v_out_idx=cache.v_out_idx.at[:, :, :nbs].set(vo_i),
                 v_out_val=cache.v_out_val.at[:, :, :nbs].set(vo_v),
             )
-        if use_lowrank and spec.prefill_rank > 0:
+        if use_lowrank and max(spec.prefill_rank,
+                               spec.prefill_rank_v_eff) > 0:
             kk, kv = jax.random.split(key)
             k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn, ko_i, ko_v)
             v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn, vo_i, vo_v)
             kp1, kqt1, kps1, kqs1 = _error_bases(
                 spec, kb, k_hat, spec.prefill_rank, kk)
             vp1, vqt1, vps1, vqs1 = _error_bases(
-                spec, vb, v_hat, spec.prefill_rank, kv)
+                spec, vb, v_hat, spec.prefill_rank_v_eff, kv)
             # Replicate the prefill P (and its scales) across its blocks;
             # Q columns in place, per-block scale = the prefill scale.
             kpt1 = jnp.swapaxes(kp1, -1, -2)  # [B,H,R,D]
@@ -738,12 +760,13 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
             v_out_val=jax.lax.dynamic_update_slice(
                 cache.v_out_val, vo_v, (0, 0, blk, 0)),
         )
-    if use_lowrank and spec.rank > 0:
+    if use_lowrank and max(spec.rank, spec.rank_v_eff) > 0:
         kk, kv = jax.random.split(jax.random.fold_in(key, 0))
         k_hat = _dequant_k_block(spec, k_pack, k_scale, k_mn, ko_i, ko_v)
         v_hat = _dequant_v_block(spec, v_pack, v_scale, v_mn, vo_i, vo_v)
         kp1, kqt1, kps1, kqs1 = _error_bases(spec, kb, k_hat, spec.rank, kk)
-        vp1, vqt1, vps1, vqs1 = _error_bases(spec, vb, v_hat, spec.rank, kv)
+        vp1, vqt1, vps1, vqs1 = _error_bases(spec, vb, v_hat,
+                                             spec.rank_v_eff, kv)
         upd.update(
             kpt=jax.lax.dynamic_update_slice(
                 cache.kpt, jnp.swapaxes(kp1, -1, -2)[:, :, None],

@@ -17,18 +17,37 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
+_HERE = Path(__file__).resolve().parent
+LIB_PROMPT = _HERE / "lib_prompt"   # vendored reference few-shot prompts
+                                    # (reference: GenerationTest/lib_prompt/)
+TINY_MODEL = _HERE.parents[1] / "runs" / "tiny_arith_hf"
+
+# default few-shot prompt per task (reference: evaluation_gsm8k.py prompt_file
+# flag pointing at lib_prompt/gsm8k_prompt_original.txt; aqua 8-shot;
+# bbh per-task dir)
+DEFAULT_PROMPT = {
+    "gsm8k": LIB_PROMPT / "gsm8k_prompt_original.txt",
+    "aqua": LIB_PROMPT / "aqua" / "cot_prompt_8shots.txt",
+    "bbh": LIB_PROMPT,
+}
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="gear_tpu CoT evaluation")
-    p.add_argument("--model", required=True, help="local HF checkpoint dir")
+    p.add_argument("--model", default=str(TINY_MODEL),
+                   help="local HF checkpoint dir (default: the vendored "
+                        "tiny_arith smoke checkpoint)")
     p.add_argument("--task", default="gsm8k",
                    choices=["gsm8k", "aqua", "bbh"])
     p.add_argument("--bbh_task", default=None,
                    help="single BBH subtask (default: all)")
-    p.add_argument("--data", required=True,
-                   help="jsonl dataset path (or dir of per-task jsonl for bbh)")
+    p.add_argument("--data", default=None,
+                   help="jsonl dataset path (or dir of per-task jsonl for "
+                        "bbh); default: <model>/<task>_test.jsonl")
     p.add_argument("--prompt_file", default=None,
-                   help="few-shot CoT prompt text file (or dir for bbh)")
+                   help="few-shot CoT prompt text file (or dir for bbh); "
+                        "pass 'auto' for the vendored lib_prompt asset "
+                        "for --task (reference few-shot prompts)")
     p.add_argument("--zero_shot", action="store_true")
     # compression knobs (reference evaluation_gsm8k.py:280-330)
     p.add_argument("--compress_method", default="NONE")
@@ -54,15 +73,33 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_tokenizer(model_dir: str):
+    """AutoTokenizer when the checkpoint ships HF tokenizer files; the char
+    tokenizer for checkpoints marked "gear_tpu_tokenizer": "char" (the
+    vendored tiny_arith smoke model)."""
+    import json as _json
+    cfg_path = Path(model_dir) / "config.json"
+    if cfg_path.exists():
+        hf_cfg = _json.loads(cfg_path.read_text())
+        if hf_cfg.get("gear_tpu_tokenizer") == "char":
+            from .synth import CharTokenizer
+            return CharTokenizer()
+    from transformers import AutoTokenizer
+    return AutoTokenizer.from_pretrained(model_dir)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-
-    from transformers import AutoTokenizer
 
     from ..config import CompressionConfig
     from ..engine import EngineConfig, InferenceEngine
     from ..models import loader
     from . import harness
+
+    if args.data is None:
+        args.data = str(Path(args.model) / f"{args.task}_test.jsonl")
+    if args.prompt_file == "auto":
+        args.prompt_file = str(DEFAULT_PROMPT[args.task])
 
     cfg, params = loader.load_params(args.model)
     comp = CompressionConfig(
@@ -78,10 +115,11 @@ def main(argv=None):
         stream_grouping=args.stream_grouping,
         residual_length=args.group_size,
     )
-    tokenizer = AutoTokenizer.from_pretrained(args.model)
+    tokenizer = _resolve_tokenizer(args.model)
     ecfg = EngineConfig(max_len=args.max_len, mode=args.mode,
-                        eos_token_id=tokenizer.eos_token_id,
-                        pad_token_id=tokenizer.pad_token_id or 0)
+                        eos_token_id=getattr(tokenizer, "eos_token_id", None),
+                        pad_token_id=getattr(tokenizer, "pad_token_id", 0)
+                        or 0)
     engine = InferenceEngine(cfg, params, comp, ecfg,
                              batch_size=args.batch_size)
     gen = harness.engine_generate_fn(engine, tokenizer)

@@ -845,7 +845,8 @@ def attend_fused(
         qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gq_pad - gq_n), (0, 0)))
 
     base8 = spec.base_bits == 8
-    use_lr = max(spec.rank, spec.prefill_rank) > 0
+    use_lr = max(spec.rank, spec.prefill_rank, spec.rank_v_eff,
+                 spec.prefill_rank_v_eff) > 0
 
     flat = lambda x: x.reshape(bhn, *x.shape[2:])
     if pad_start is None:
@@ -1079,7 +1080,8 @@ def attend_paged(
     bt = jnp.maximum(seqs.block_table.astype(jnp.int32), 0)
 
     base8 = spec.base_bits == 8
-    use_lr = max(spec.rank, spec.prefill_rank) > 0
+    use_lr = max(spec.rank, spec.prefill_rank, spec.rank_v_eff,
+                 spec.prefill_rank_v_eff) > 0
     if base8:
         scale_args = (jnp.swapaxes(pool.kpt_scale, -1, -2),
                       pool.kqt_scale,

@@ -112,6 +112,10 @@ class ModelConfig:
             group=comp.group_size,
             rank=comp.rank,
             prefill_rank=comp.prefill_rank,
+            # K/V-asymmetric ranks (reference rank/rankv + prefillrank/
+            # prefillrankv flags, evaluation_gsm8k.py:280-330)
+            rank_v=comp.rankv,
+            prefill_rank_v=comp.prefill_rankv,
             lowrank_loop=comp.loop,
             outliers_per_block=ko,
             # *-KCVT = K per-channel with group = seq_len

@@ -450,7 +450,7 @@ def _append_paged_impl(
                 v_out_idx=upd_blk(pool.v_out_idx, vo_i),
                 v_out_val=upd_blk(pool.v_out_val, vo_v),
             )
-        if use_lowrank and spec.rank > 0:
+        if use_lowrank and max(spec.rank, spec.rank_v_eff) > 0:
             # Same key chain as the dense path (cache.append -> _flush) so a
             # paged sequence is bit-identical to its dense twin.
             kk, kv = jax.random.split(jax.random.fold_in(subkey, 0))
@@ -461,7 +461,8 @@ def _append_paged_impl(
             kp1, kqt1, kps1, kqs1 = kvcache._error_bases(spec, kb, k_hat,
                                                          spec.rank, kk)
             vp1, vqt1, vps1, vqs1 = kvcache._error_bases(spec, vb, v_hat,
-                                                         spec.rank, kv)
+                                                         spec.rank_v_eff,
+                                                         kv)
             upd.update(
                 kqt=upd_tok(pool.kqt, kqt1),
                 vqt=upd_tok(pool.vqt, vqt1),

@@ -93,6 +93,23 @@ def do_eval(args):
         "KIVI-int4": CompressionConfig(
             compress_method="UNIFORM", quantize_bit=4, **base),
     }
+    if args.sweep:
+        # INT2-collapse root-cause sweep (VERDICT r3 task 4): isolate which
+        # ingredient drives the tiny-model INT2 accuracy drop.
+        g16 = dict(base, group_size=16)
+        rank8 = dict(base, rank=8, prefill_rank=8)
+        matrix.update({
+            "KIVI-int2": CompressionConfig(
+                compress_method="UNIFORM", quantize_bit=2, **base),
+            "GEARL-int2": CompressionConfig(
+                compress_method="GEARL", quantize_bit=2, **base),
+            "GEAR-int2-left10": CompressionConfig(
+                compress_method="GEAR", quantize_bit=2, left=0.10, **base),
+            "GEAR-int2-g16": CompressionConfig(
+                compress_method="GEAR", quantize_bit=2, left=0.02, **g16),
+            "GEAR-int2-rank8": CompressionConfig(
+                compress_method="GEAR", quantize_bit=2, left=0.02, **rank8),
+        })
 
     results = {}
     for name, comp in matrix.items():
@@ -118,7 +135,7 @@ def do_eval(args):
         "n": args.limit,
         "results": results,
     }
-    path = RUN_DIR / "accuracy.json"
+    path = RUN_DIR / ("accuracy_sweep.json" if args.sweep else "accuracy.json")
     path.write_text(json.dumps(out, indent=2))
     print(f"wrote {path}")
 
@@ -135,6 +152,8 @@ if __name__ == "__main__":
     ap.add_argument("--limit", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="extra INT2 root-cause configs")
     args = ap.parse_args()
     if args.cmd in ("train", "all"):
         do_train(args)

@@ -222,3 +222,51 @@ def test_kernel_kcvt_prefill(rng, ko):
     got2 = K.attend_fused(spec, forced, q, blocks_per_chunk=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_rankv_asymmetric_fused_matches_attend(rng):
+    """K/V-asymmetric ranks (reference rank vs rankv flags,
+    evaluation_gsm8k.py:280-330) through prefill + a decode flush."""
+    spec = mk_spec(rank=2, prefill_rank=4, rank_v=4, prefill_rank_v=2,
+                   max_len=320)
+    assert spec.r_store == 4
+    cache = rand_cache(rng, spec, 192)
+    # drive one full decode flush (group=64 appends)
+    for i in range(64):
+        kn = jnp.asarray(rng.standard_normal(
+            (spec.batch, spec.num_kv_heads, 1, spec.head_dim)).astype(np.float32))
+        vn = jnp.asarray(rng.standard_normal(
+            (spec.batch, spec.num_kv_heads, 1, spec.head_dim)).astype(np.float32))
+        cache = C.append(spec, cache, kn, vn)
+    assert int(cache.comp_len) == 256 and int(cache.resid_len) == 0
+    q = jnp.asarray(rng.standard_normal(
+        (spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+
+
+def test_rankv_bases_have_asymmetric_rank(rng):
+    """The V bases must actually carry rank_v columns (not silently K's)."""
+    spec = mk_spec(rank=2, prefill_rank=4, rank_v=1, prefill_rank_v=1)
+    cache = rand_cache(rng, spec, 256)
+    vqt = np.asarray(cache.vqt)  # [B,H,R,T] transposed Q
+    kqt = np.asarray(cache.kqt)
+    # V used rank 1: rows >= 1 must be exactly zero; K rank 4 rows populated
+    assert np.abs(vqt[:, :, 1:, :]).max() == 0.0
+    assert np.abs(kqt[:, :, 3, :]).max() > 0.0
+
+
+def test_rankv_zero_v_side(rng):
+    """rank_v=0 with K ranks on: V correction absent, K correction present."""
+    spec = mk_spec(rank=2, prefill_rank=2, rank_v=0, prefill_rank_v=0)
+    cache = rand_cache(rng, spec, 256)
+    assert np.abs(np.asarray(cache.vqt)).max() == 0.0
+    assert np.abs(np.asarray(cache.kqt)).max() > 0.0
+    q = jnp.asarray(rng.standard_normal(
+        (spec.batch, 2, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
