@@ -145,6 +145,20 @@ class CacheSpec:
             else self.prefill_rank_v
 
     @property
+    def ko_store(self) -> int:
+        """Stored outlier entries per block: ``outliers_per_block`` rounded
+        UP to a multiple of 128 when head_dim == 128. Padding entries are
+        (idx 0, delta 0) no-ops for every consumer (scatter-ADD of zero),
+        and full-128 lane windows let the Pallas kernel take the hardware
+        lane gather (v5e: take_along_axis on exactly [*, 128] f32) with no
+        ragged-tail concat — Mosaic rejects concats of lane-offset
+        mismatched vectors, so the ragged path never compiled on TPU."""
+        ko = self.outliers_per_block
+        if ko and self.head_dim == 128:
+            return -(-ko // 128) * 128
+        return ko
+
+    @property
     def r_store(self) -> int:
         # at least one (zero) column: zero-size base leaves would need
         # zero-size Pallas blocks, which neither Mosaic nor the interpreter
@@ -180,7 +194,7 @@ class CacheSpec:
         total += 2 * b * h * t * self.r_store * base_el
         if self.base_bits == 8:  # per-(block, rank) f32 scales
             total += 4 * b * h * self.n_blocks * self.r_store * 4
-        ko = self.outliers_per_block
+        ko = self.ko_store
         if ko:  # COO outliers: packed 16-bit idx + 16-bit delta, per tensor
             total += 2 * b * h * self.n_blocks * ko * (
                 2 + jnp.dtype(self.dtype).itemsize)
@@ -270,12 +284,12 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
         vpt=jnp.zeros((b, h, spec.n_blocks, spec.r_store, d), base_dt),
         vqt=jnp.zeros((b, h, spec.r_store, spec.max_len), base_dt),
         k_out_idx=jnp.zeros((b, h, spec.n_blocks,
-                             spec.outliers_per_block // 2), jnp.int32),
-        k_out_val=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
+                             spec.ko_store // 2), jnp.int32),
+        k_out_val=jnp.zeros((b, h, spec.n_blocks, spec.ko_store),
                             spec.dtype),
         v_out_idx=jnp.zeros((b, h, spec.n_blocks,
-                             spec.outliers_per_block // 2), jnp.int32),
-        v_out_val=jnp.zeros((b, h, spec.n_blocks, spec.outliers_per_block),
+                             spec.ko_store // 2), jnp.int32),
+        v_out_val=jnp.zeros((b, h, spec.n_blocks, spec.ko_store),
                             spec.dtype),
         kpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
         kqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
@@ -327,6 +341,13 @@ def _extract_outliers(spec: CacheSpec, x: jax.Array):
             + (jnp.arange(nrows, dtype=jnp.int32) * (g * d))[:, None])
     flat_m = jnp.broadcast_to(mean, idx.shape).reshape(nrows * ko)
     cleaned = flat_x.at[gidx.reshape(-1)].set(flat_m)
+    if spec.ko_store != ko:
+        # pad to the stored count with (idx 0, dup=True) entries — their
+        # deltas are forced to 0 downstream, making them exact no-ops.
+        pad = [(0, 0)] * 3 + [(0, spec.ko_store - ko)]
+        idx = jnp.pad(idx, pad)
+        val = jnp.pad(val, pad)
+        is_dup = jnp.pad(is_dup, pad, constant_values=True)
     return (cleaned.reshape(b, h, s_len, d), idx, val, is_dup)
 
 
@@ -384,7 +405,7 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array, whole_span: bool = False):
     if spec.outliers_per_block:
         k, o_idx, o_exact, o_dup = _extract_outliers(spec, k)
     else:
-        ko = spec.outliers_per_block
+        ko = spec.ko_store
         o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
         o_exact = None
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
@@ -432,7 +453,7 @@ def _compress_v_block(spec: CacheSpec, v: jax.Array):
     if spec.outliers_per_block:
         v, o_idx, o_exact, o_dup = _extract_outliers(spec, v)
     else:
-        ko = spec.outliers_per_block
+        ko = spec.ko_store
         o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
     codes, scale, mn = quant.quantize_groups(v, spec.bits, spec.v_group)
@@ -468,7 +489,7 @@ def _compress_k_block_pk(spec: CacheSpec, k: jax.Array, interpret=False):
     if spec.outliers_per_block:
         k, o_idx, o_exact, o_dup = _extract_outliers(spec, k)
     else:
-        ko = spec.outliers_per_block
+        ko = spec.ko_store
         o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
 
@@ -507,7 +528,7 @@ def _compress_v_block_pk(spec: CacheSpec, v: jax.Array, interpret=False):
     if spec.outliers_per_block:
         v, o_idx, o_exact, o_dup = _extract_outliers(spec, v)
     else:
-        ko = spec.outliers_per_block
+        ko = spec.ko_store
         o_idx = jnp.zeros((b, h, nbs, ko), jnp.int32)
         o_val = jnp.zeros((b, h, nbs, ko), spec.dtype)
 
@@ -889,6 +910,7 @@ def attend(
     *,
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Decode attention of q [B,Hq,Qn,D] against the compressed cache.
 
@@ -900,6 +922,10 @@ def attend(
 
     pad_start: optional int32 [B] — per-row first valid token index (for
     left-padded batches).
+    window: optional sliding-window size (Mistral): only the last ``window``
+    tokens of the sequence are attended (HF Mistral masks by window at
+    decode too; the reference fork inherits that via the attention mask —
+    modeling_mistral.py sliding-window mask). Exact across both tiers.
     """
     b, hq, qn, d = q.shape
     hkv = spec.num_kv_heads
@@ -936,6 +962,12 @@ def attend(
         valid = valid & jnp.where(
             pos[None, :] < t, pos[None, :] >= pad_start[:, None], True
         )[:, None, None, :]
+    if window is not None:
+        # absolute position: prefix slot i sits at i; residual slot r at
+        # comp_len + r. Only the last ``window`` of comp_len+resid_len live.
+        total = cache.comp_len + cache.resid_len
+        abs_pos = jnp.where(pos < t, pos, cache.comp_len + (pos - t))
+        valid = valid & (abs_pos >= total - window)[None, None, None, :]
     scores = jnp.where(valid, scores, -jnp.inf)
 
     w = jax.nn.softmax(scores, axis=-1)

@@ -331,21 +331,20 @@ def _decode_kernel(
                 # with same-width int32 indices) — one instruction vs a
                 # [D, KO] one-hot BUILD + MXU dot; the builds are the
                 # dominant outlier cost (docs/STATUS.md round-3 #6).
-                if d == 128:
+                # KO is padded to a multiple of 128 at cache build time
+                # (spec.ko_store) whenever d == 128, so every window is
+                # exactly 128 lanes — a ragged tail would need a pad
+                # concat of lane-offset-mismatched vectors, which Mosaic
+                # rejects ("offset mismatch on non-concat dimension").
+                if d == 128 and ko % 128 == 0:
                     out = None
                     for lo in range(0, ko, 128):
-                        w = min(128, ko - lo)
-                        idx = kd_col[c:c + 1, lo:lo + w]     # [1, w]
-                        if w < 128:
-                            idx = jnp.concatenate(
-                                [idx, jnp.zeros((1, 128 - w), jnp.int32)],
-                                axis=1)
+                        idx = kd_col[c:c + 1, lo:lo + 128]   # [1, 128]
                         qg = jnp.take_along_axis(
                             q32, jnp.broadcast_to(idx, (gq, 128)), axis=1)
-                        qgv = (qg[:, :w]
-                               * kov[c:c + 1, lo:lo + w]).astype(bf)
-                        wt = (kt_loc[c:c + 1, lo:lo + w]
-                              == iota_gko[:, :w]).astype(bf)  # [g, w]
+                        qgv = (qg * kov[c:c + 1, lo:lo + 128]).astype(bf)
+                        wt = (kt_loc[c:c + 1, lo:lo + 128]
+                              == iota_gko[:, :128]).astype(bf)  # [g, 128]
                         piece = _dot(qgv, wt, (((1,), (1,))))
                         out = piece if out is None else out + piece
                     return out                               # [GQ, g]
@@ -497,7 +496,8 @@ def _decode_kernel(
                     # _k_outlier_piece); the attention weights at the
                     # outlier tokens come from a [GQ, 128] f32 window of p
                     # covering block c, at lane offset (c*g) % 128.
-                    vgather = g in (64, 128) and chunk % 128 == 0
+                    vgather = (g in (64, 128) and chunk % 128 == 0
+                               and ko % 128 == 0)
                     for c in range(cb):
                         if vgather:
                             w0 = (c * g) // 128 * 128
@@ -505,20 +505,14 @@ def _decode_kernel(
                             win = p[:, w0:w0 + 128]          # f32 [GQ, 128]
                             pvc = None
                             for lo in range(0, ko, 128):
-                                w = min(128, ko - lo)
-                                idx = vt_loc[c:c + 1, lo:lo + w] + off
-                                if w < 128:
-                                    idx = jnp.concatenate(
-                                        [idx,
-                                         jnp.zeros((1, 128 - w), jnp.int32)],
-                                        axis=1)
+                                idx = vt_loc[c:c + 1, lo:lo + 128] + off
                                 pg = jnp.take_along_axis(
                                     win, jnp.broadcast_to(idx, (gq, 128)),
                                     axis=1)
-                                pgv = (pg[:, :w]
-                                       * vov[c:c + 1, lo:lo + w]).astype(bf)
-                                oh_d = (vd_col[c:c + 1, lo:lo + w]
-                                        == iota_dko[:, :w]).astype(bf)
+                                pgv = (pg
+                                       * vov[c:c + 1, lo:lo + 128]).astype(bf)
+                                oh_d = (vd_col[c:c + 1, lo:lo + 128]
+                                        == iota_dko[:, :128]).astype(bf)
                                 dd = _dot(pgv, oh_d, (((1,), (1,))))
                                 pvc = dd if pvc is None else pvc + dd
                             pv = pv + pvc
@@ -817,6 +811,7 @@ def attend_fused(
     *,
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
+    window: int | None = None,
     blocks_per_chunk: int = 16,
     dual_region: bool = True,
     heads_per_step: int = 1,
@@ -830,7 +825,13 @@ def attend_fused(
     one-hot gather/scatter dots over the stored deltas — the full GEAR
     recipe (quant + low-rank + outliers) in one HBM pass. The reference's
     fused CUDA path never implemented its outlier slots
-    (modeling_llamagear.py:458-466); this surpasses it."""
+    (modeling_llamagear.py:458-466); this surpasses it.
+
+    ``window`` (Mistral sliding window at decode) folds into the kernel's
+    pad_start masking of the compressed prefix — requires window >= group
+    so the residual tier (at most ``group`` most-recent tokens) is always
+    fully inside the window; chunks left of the window boundary are then
+    masked off wholesale with no kernel change."""
     b, hq, qn, d = q.shape
     hkv = spec.num_kv_heads
     gq_n = (hq // hkv) * qn
@@ -853,6 +854,14 @@ def attend_fused(
         pad_bh = jnp.zeros((bhn,), jnp.int32)
     else:
         pad_bh = jnp.repeat(pad_start.astype(jnp.int32), hkv)
+    if window is not None:
+        if window < spec.group:
+            raise ValueError(
+                f"window {window} < group {spec.group}: the fused kernel "
+                "masks the window via pad_start over the compressed prefix "
+                "only; the residual tier (<= group tokens) must fit inside")
+        total = cache.comp_len + cache.resid_len
+        pad_bh = jnp.maximum(pad_bh, (total - window).astype(jnp.int32))
 
     lens = jnp.broadcast_to(
         jnp.stack([cache.comp_len.astype(jnp.int32),
@@ -1049,12 +1058,14 @@ def attend_paged(
     *,
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
+    window: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode attention for a batch of paged sequences (gear_tpu.paged).
 
     Per-sequence lengths (continuous batching) are native here — each row
-    of ``seqs`` masks by its own comp_len/resid_len.
+    of ``seqs`` masks by its own comp_len/resid_len. ``window`` folds into
+    pad_start per sequence (see attend_fused; requires window >= group).
     """
     spec = pspec.spec
     b, hq, qn, d = q.shape
@@ -1073,6 +1084,11 @@ def attend_paged(
         pad_bh = jnp.zeros((bhn,), jnp.int32)
     else:
         pad_bh = jnp.repeat(pad_start.astype(jnp.int32), hkv)
+    if window is not None:
+        if window < spec.group:
+            raise ValueError(f"window {window} < group {spec.group}")
+        total = (seqs.comp_len + seqs.resid_len).astype(jnp.int32)
+        pad_bh = jnp.maximum(pad_bh, jnp.repeat(total - window, hkv))
 
     lens = jnp.stack([seqs.comp_len.astype(jnp.int32),
                       seqs.resid_len.astype(jnp.int32),

@@ -97,11 +97,13 @@ class ScalarWriter:
     >>> w.close()
     """
 
-    def __init__(self, out_dir: str | os.PathLike):
+    def __init__(self, out_dir: str | os.PathLike, *,
+                 _ts: float | None = None, _host: str | None = None):
+        # _ts/_host: deterministic injection for the golden-bytes test only.
         self.dir = Path(out_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
-        ts = time.time()
-        host = socket.gethostname() or "local"
+        ts = time.time() if _ts is None else _ts
+        host = (socket.gethostname() or "local") if _host is None else _host
         self._f = open(self.dir / f"events.out.tfevents.{int(ts)}.{host}",
                        "wb")
         self._jsonl = open(self.dir / "scalars.jsonl", "a")
@@ -114,8 +116,9 @@ class ScalarWriter:
         self._f.write(payload)
         self._f.write(struct.pack("<I", _masked_crc(payload)))
 
-    def scalar(self, tag: str, value: float, step: int = 0):
-        now = time.time()
+    def scalar(self, tag: str, value: float, step: int = 0,
+               *, _ts: float | None = None):
+        now = time.time() if _ts is None else _ts
         self._record(_event(now, step, summary=_scalar_summary(tag,
                                                                float(value))))
         self._jsonl.write(json.dumps(

@@ -396,6 +396,7 @@ def forward_decode(
         v = _split_heads(x @ lp["wv"], cfg.num_kv_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        win = cfg.sliding_window
         if compress:
             lcache = kvcache.append(spec, lcache, k, v, key=lkey)
             if attn_impl.startswith("pallas"):
@@ -404,14 +405,16 @@ def forward_decode(
                 # "pallas@<n>" batches n kv heads per kernel grid step.
                 impl, _, hb_s = attn_impl.partition("@")
                 attn = fused.attend_fused(
-                    spec, lcache, q, pad_start=pad_start,
+                    spec, lcache, q, pad_start=pad_start, window=win,
                     heads_per_step=int(hb_s) if hb_s else 1,
                     interpret=impl == "pallas_interpret")
             else:
-                attn = kvcache.attend(spec, lcache, q, pad_start=pad_start)
+                attn = kvcache.attend(spec, lcache, q, pad_start=pad_start,
+                                      window=win)
         else:
             lcache = raw_append(spec, lcache, k, v)
-            attn = raw_attend(spec, lcache, q, pad_start=pad_start)
+            attn = raw_attend(spec, lcache, q, pad_start=pad_start,
+                              window=win)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
         h = h + attn @ lp["wo"]
         x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)
@@ -769,6 +772,7 @@ def raw_append(spec: CacheSpec, c: RawLayerCache, k_new, v_new) -> RawLayerCache
 def raw_attend(
     spec: CacheSpec, c: RawLayerCache, q: jax.Array,
     *, sm_scale: float | None = None, pad_start: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     b, hq, qn, d = q.shape
     hkv = spec.num_kv_heads
@@ -781,6 +785,8 @@ def raw_attend(
     valid = (pos < c.length)[None, None, None, :]
     if pad_start is not None:
         valid = valid & (pos[None, :] >= pad_start[:, None])[:, None, None, :]
+    if window is not None:
+        valid = valid & (pos >= c.length - window)[None, None, None, :]
     scores = jnp.where(valid, scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqt,bhtd->bhqd", w, c.v.astype(jnp.float32))

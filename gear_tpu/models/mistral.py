@@ -7,10 +7,13 @@ the compression hook is identical (:678-762). Here the same holds by
 construction: gear_tpu.models.llama implements GQA and sliding-window
 prefill natively, so Mistral is a ModelConfig + the shared forward/cache.
 
-Note on decode: the two-tier compressed cache attends over the full prefix
-(bounded by ``max_len``), matching the reference which never evicts by
-window either — HF's Mistral cache only applies the window via the
-attention mask at prefill.
+Decode applies the sliding window as a mask over the compressed cache
+(forward_decode passes cfg.sliding_window into cache.attend /
+attend_fused / raw_attend), matching HF Mistral's decode-time window
+mask. The cache itself never evicts by window (neither does the
+reference) — the window is a mask, bounded by ``max_len`` storage. The
+fused kernel folds the window into its pad_start masking and requires
+window >= spec.group (true for any real config: 4096 >> 64).
 """
 from __future__ import annotations
 

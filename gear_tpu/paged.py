@@ -118,10 +118,10 @@ def init_pool(pspec: PagedSpec) -> PagePool:
         kqt=jnp.zeros((p, h, r, pt), base_dt),
         vpt=jnp.zeros((p, h, pb, r, d), base_dt),
         vqt=jnp.zeros((p, h, r, pt), base_dt),
-        k_out_idx=jnp.zeros((p, h, pb, s.outliers_per_block // 2), jnp.int32),
-        k_out_val=jnp.zeros((p, h, pb, s.outliers_per_block), s.dtype),
-        v_out_idx=jnp.zeros((p, h, pb, s.outliers_per_block // 2), jnp.int32),
-        v_out_val=jnp.zeros((p, h, pb, s.outliers_per_block), s.dtype),
+        k_out_idx=jnp.zeros((p, h, pb, s.ko_store // 2), jnp.int32),
+        k_out_val=jnp.zeros((p, h, pb, s.ko_store), s.dtype),
+        v_out_idx=jnp.zeros((p, h, pb, s.ko_store // 2), jnp.int32),
+        v_out_val=jnp.zeros((p, h, pb, s.ko_store), s.dtype),
         kpt_scale=jnp.ones((p, h, pb, r), jnp.float32),
         kqt_scale=jnp.ones((p, h, r, pb), jnp.float32),
         vpt_scale=jnp.ones((p, h, pb, r), jnp.float32),

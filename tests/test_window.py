@@ -1,0 +1,145 @@
+"""Sliding-window decode masking (Mistral) over the compressed cache.
+
+The reference's Mistral fork applies the HF sliding-window attention mask
+(GEARLM/Simulated/modeling_mistral.py — window via the 4D attention mask) at
+decode as well as prefill; gear_tpu exposes the same as a ``window`` option
+on cache.attend / kernels.decode.attend_fused / llama.raw_attend, wired from
+ModelConfig.sliding_window in forward_decode. These tests pin (a) exactness
+of the mask across both cache tiers, (b) fused-kernel equivalence, and
+(c) the decode divergence that existed while the window was prefill-only.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gear_tpu import cache as C
+from gear_tpu.kernels import decode as K
+from gear_tpu.models import llama as L
+
+from test_cache import mk_spec, rand_kv, reconstruct_valid, exact_attention, rel
+
+
+def windowed_reference(spec, cache, q, window):
+    """Brute-force windowed attention over the reconstructed two-tier KV."""
+    k, v = reconstruct_valid(spec, cache)
+    total = k.shape[2]
+    start = max(0, total - window)
+    return exact_attention(q, k[:, :, start:], v[:, :, start:],
+                           spec.head_dim ** -0.5)
+
+
+def test_attend_window_exact_prefill_only(rng):
+    spec = mk_spec()
+    k, v = rand_kv(rng, spec, 128)  # 4 blocks, resid_len = 0
+    cache = C.prefill(spec, k, v)
+    q = jnp.asarray(rng.standard_normal((1, 4, 1, spec.head_dim)), jnp.float32)
+    for w in (64, 96, 128, 1000):
+        got = C.attend(spec, cache, q, window=w)
+        want = windowed_reference(spec, cache, q, w)
+        assert rel(got, want) < 1e-5, w
+    # window >= total is a no-op
+    np.testing.assert_allclose(np.asarray(C.attend(spec, cache, q, window=1000)),
+                               np.asarray(C.attend(spec, cache, q)), rtol=1e-6)
+
+
+def test_attend_window_crosses_residual(rng):
+    """Window boundary lands INSIDE the residual tier (window < resid_len):
+    only the XLA path supports this (the kernel requires window >= group)."""
+    spec = mk_spec()
+    k, v = rand_kv(rng, spec, 96)
+    cache = C.prefill(spec, k, v)
+    k2, v2 = rand_kv(rng, spec, 1)
+    for _ in range(10):  # resid_len = 10
+        cache = C.append(spec, cache, k2, v2)
+    assert int(cache.resid_len) == 10
+    q = jnp.asarray(rng.standard_normal((1, 4, 1, spec.head_dim)), jnp.float32)
+    got = C.attend(spec, cache, q, window=4)   # inside the residual tier
+    want = windowed_reference(spec, cache, q, 4)
+    assert rel(got, want) < 1e-5
+
+
+def test_fused_window_matches_attend(rng):
+    spec = mk_spec(base_bits=8)
+    k, v = rand_kv(rng, spec, 128)
+    cache = C.prefill(spec, k, v)
+    k2, v2 = rand_kv(rng, spec, 1)
+    for _ in range(5):
+        cache = C.append(spec, cache, k2, v2)
+    q = jnp.asarray(rng.standard_normal((1, 4, 1, spec.head_dim)), jnp.float32)
+    # tolerance: kernel-vs-XLA divergence is pure bf16/accum noise; with only
+    # ~window live tokens the denominator shrinks, so small windows read
+    # higher (3.2e-3 observed at window=32 on this seed).
+    for w in (spec.group, 100, 1000):
+        got = K.attend_fused(spec, cache, q, window=w, interpret=True)
+        want = C.attend(spec, cache, q, window=w)
+        assert rel(got, want) < 6e-3, w
+
+
+def test_fused_window_smaller_than_group_raises(rng):
+    spec = mk_spec()
+    k, v = rand_kv(rng, spec, 64)
+    cache = C.prefill(spec, k, v)
+    q = jnp.asarray(rng.standard_normal((1, 4, 1, spec.head_dim)), jnp.float32)
+    with pytest.raises(ValueError, match="window"):
+        K.attend_fused(spec, cache, q, window=spec.group - 1, interpret=True)
+
+
+def test_raw_attend_window(rng):
+    spec = mk_spec()
+    k, v = rand_kv(rng, spec, 80)
+    c = L.raw_prefill(spec, k, v)
+    q = jnp.asarray(rng.standard_normal((1, 4, 1, spec.head_dim)), jnp.float32)
+    got = L.raw_attend(spec, c, q, window=16)
+    want = exact_attention(q, k[:, :, 64:], v[:, :, 64:], spec.head_dim ** -0.5)
+    assert rel(got, want) < 1e-5
+
+
+def test_decode_divergence_pinned(rng):
+    """Past the window, windowed and unwindowed decode MUST diverge (this is
+    the divergence the round-3 code shipped silently: decode ignored the
+    window entirely); and the compressed windowed path must track the raw
+    windowed path, not the unwindowed one."""
+    from gear_tpu.models import mistral as M
+
+    cfg = M.tiny(sliding_window=32)
+    cfg_nw = M.tiny(sliding_window=None)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    # high-fidelity spec so compression error does not drown the comparison
+    spec = C.CacheSpec(batch=1, num_kv_heads=cfg.num_kv_heads,
+                       head_dim=cfg.head_dim, max_len=128, bits=8, group=32,
+                       rank=0, prefill_rank=0, lowrank_loop=0,
+                       dtype=jnp.float32, sideband_dtype=jnp.float32)
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 48)), jnp.int32)
+    pos = jnp.arange(48)[None, :]
+
+    mask = jnp.ones((1, 40), jnp.int32)
+
+    def run(cfg_i, compress):
+        # prefill the first 40, then force-feed the next 8 (teacher-forced)
+        logits, caches = L.forward_prefill(
+            params, cfg_i, toks[:, :40], pos[:, :40], mask, spec,
+            compress=compress)
+        outs = []
+        for i in range(40, 48):
+            logits, caches = L.forward_decode(
+                params, cfg_i, toks[:, i], pos[:, i], caches,
+                spec=spec, compress=compress)
+            outs.append(np.asarray(logits))
+        return np.stack(outs)
+
+    raw_win = run(cfg, compress=False)
+    raw_nowin = run(cfg_nw, compress=False)
+    comp_win = run(cfg, compress=True)
+
+    # (a) the divergence is real: at position 47, tokens [0, 16) are outside
+    # the 32-window — masking them must change the logits.
+    assert np.abs(raw_win[-1] - raw_nowin[-1]).max() > 1e-4
+
+    # (b) compressed windowed decode tracks RAW windowed decode (bits=8,
+    # rank 0: near-lossless) far better than it tracks the unwindowed run.
+    err_win = np.abs(comp_win - raw_win).mean()
+    err_nowin = np.abs(comp_win - raw_nowin).mean()
+    assert err_win < 1e-2
+    assert err_win < err_nowin / 5
