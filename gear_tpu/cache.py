@@ -159,6 +159,10 @@ class CacheSpec:
         return ko
 
     @property
+    def bnd_lanes(self) -> int:
+        return 128 if self.outliers_per_block else 0
+
+    @property
     def r_store(self) -> int:
         # at least one (zero) column: zero-size base leaves would need
         # zero-size Pallas blocks, which neither Mosaic nor the interpreter
@@ -248,6 +252,14 @@ class LayerCache:
     k_out_val: jax.Array  # [B, H, n_blocks, KO]  (delta values)
     v_out_idx: jax.Array  # int32 [B, H, n_blocks, KO // 2]
     v_out_val: jax.Array  # [B, H, n_blocks, KO]  (delta values)
+    # Sorted-outlier boundary tables (empty when outliers_per_block == 0):
+    # entries within each block are stored sorted by token (K) / channel
+    # (V); bnd[..., t] = (# entries with key <= t) - 1. The Pallas kernel
+    # turns the scatter side of the outlier correction into a running-sum
+    # gather at these boundaries (see kernels/decode.py) instead of
+    # building data-dependent one-hot matrices on the VPU.
+    k_out_bnd: jax.Array  # int32 [B, H, n_blocks, 128]
+    v_out_bnd: jax.Array  # int32 [B, H, n_blocks, 128]
     # int8-base scales (all-ones when base_bits == 16).
     kpt_scale: jax.Array  # [B, H, n_blocks, r_store]
     kqt_scale: jax.Array  # [B, H, r_store, n_blocks]
@@ -291,6 +303,10 @@ def init_layer_cache(spec: CacheSpec) -> LayerCache:
                              spec.ko_store // 2), jnp.int32),
         v_out_val=jnp.zeros((b, h, spec.n_blocks, spec.ko_store),
                             spec.dtype),
+        k_out_bnd=jnp.zeros((b, h, spec.n_blocks, spec.bnd_lanes),
+                            jnp.int32),
+        v_out_bnd=jnp.zeros((b, h, spec.n_blocks, spec.bnd_lanes),
+                            jnp.int32),
         kpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
         kqt_scale=jnp.ones((b, h, spec.r_store, spec.n_blocks), jnp.float32),
         vpt_scale=jnp.ones((b, h, spec.n_blocks, spec.r_store), jnp.float32),
@@ -349,6 +365,34 @@ def _extract_outliers(spec: CacheSpec, x: jax.Array):
         val = jnp.pad(val, pad)
         is_dup = jnp.pad(is_dup, pad, constant_values=True)
     return (cleaned.reshape(b, h, s_len, d), idx, val, is_dup)
+
+
+def _sort_outliers(spec: CacheSpec, o_idx: jax.Array, o_val: jax.Array,
+                   key_mode: str):
+    """Sort each block's COO outliers by token (K) or channel (V) and build
+    the 128-lane boundary table the Pallas kernel's segmented-sum path uses.
+
+    ``bnd[..., t] = (# entries with key <= t) - 1`` ∈ [-1, KO-1]: with the
+    entries sorted by key, the contribution of token/channel ``t`` is the
+    difference of the running value-sum gathered at ``bnd[t]`` and
+    ``bnd[t-1]`` — no data-dependent one-hot scatter matrices needed
+    in-kernel (those VPU builds dominated the outlier cost, docs/STATUS.md).
+    Scatter-add restore and the one-hot fallback are order-independent, so
+    sorting is free for every other consumer.
+    """
+    if spec.outliers_per_block == 0:
+        bnd = jnp.zeros(o_idx.shape[:-1] + (0,), jnp.int32)
+        return _pack_oidx(o_idx), o_val, bnd
+    d = spec.head_dim
+    key = o_idx // d if key_mode == "token" else o_idx % d
+    order = jnp.argsort(key, axis=-1, stable=True)
+    idx_s = jnp.take_along_axis(o_idx, order, axis=-1)
+    val_s = jnp.take_along_axis(o_val, order, axis=-1)
+    key_s = jnp.take_along_axis(key, order, axis=-1)
+    t = jnp.arange(128, dtype=jnp.int32)
+    bnd = (jnp.sum(key_s[..., None, :] <= t[:, None], axis=-1) - 1
+           ).astype(jnp.int32)                      # [..., 128]
+    return _pack_oidx(idx_s), val_s, bnd
 
 
 def _pack_oidx(idx: jax.Array) -> jax.Array:
@@ -439,7 +483,8 @@ def _compress_k_block(spec: CacheSpec, k: jax.Array, whole_span: bool = False):
     packed = quant.pack_codes_bytestrided(codes, spec.bits)  # [B,H,S,WD]
     packed = jnp.swapaxes(packed, -1, -2)                # [B,H,WD,S]
     return (packed, scale.astype(spec.sideband_dtype),
-            mn.astype(spec.sideband_dtype), _pack_oidx(o_idx), o_val)
+            mn.astype(spec.sideband_dtype),
+            *_sort_outliers(spec, o_idx, o_val, "token"))
 
 
 def _compress_v_block(spec: CacheSpec, v: jax.Array):
@@ -469,7 +514,7 @@ def _compress_v_block(spec: CacheSpec, v: jax.Array):
     packed = jnp.swapaxes(quant.pack_codes_bytestrided(codes, spec.bits), -1, -2)
     return (packed, jnp.swapaxes(scale, -1, -2).astype(spec.sideband_dtype),
             jnp.swapaxes(mn, -1, -2).astype(spec.sideband_dtype),
-            _pack_oidx(o_idx), o_val)
+            *_sort_outliers(spec, o_idx, o_val, "channel"))
 
 
 def _compress_k_block_pk(spec: CacheSpec, k: jax.Array, interpret=False):
@@ -514,7 +559,7 @@ def _compress_k_block_pk(spec: CacheSpec, k: jax.Array, interpret=False):
         deq = _deq_at(spec, xg, gat(scale_f), gat(mn_f), gat(scale), gat(mn))
         o_val = jnp.where(o_dup, 0.0, o_exact - deq).astype(spec.dtype)
     return (packed, scale, mn,
-            _pack_oidx(o_idx), o_val)
+            *_sort_outliers(spec, o_idx, o_val, "token"))
 
 
 def _compress_v_block_pk(spec: CacheSpec, v: jax.Array, interpret=False):
@@ -558,7 +603,7 @@ def _compress_v_block_pk(spec: CacheSpec, v: jax.Array, interpret=False):
     return (packed,
             jnp.swapaxes(scale_t, -1, -2),
             jnp.swapaxes(mn_t, -1, -2),
-            _pack_oidx(o_idx), o_val)
+            *_sort_outliers(spec, o_idx, o_val, "channel"))
 
 
 def _deq_at(spec: CacheSpec, x, scale_q, mn_q, scale_s, mn_s):
@@ -670,11 +715,11 @@ def prefill(
             # whole-span per-channel K scales (KCVT): the sidebands come
             # from one global reduction, so the fused pack kernel's
             # per-group minmax doesn't apply — XLA path for K.
-            k_pack, k_scale, k_mn, ko_i, ko_v = _compress_k_block(
+            k_pack, k_scale, k_mn, ko_i, ko_v, ko_b = _compress_k_block(
                 spec, kb, whole_span=True)
         else:
-            k_pack, k_scale, k_mn, ko_i, ko_v = c_k(spec, kb)
-        v_pack, v_scale, v_mn, vo_i, vo_v = c_v(spec, vb)
+            k_pack, k_scale, k_mn, ko_i, ko_v, ko_b = c_k(spec, kb)
+        v_pack, v_scale, v_mn, vo_i, vo_v, vo_b = c_v(spec, vb)
         nbs = n_full // g
         cache = cache.replace(
             k_codes=cache.k_codes.at[:, :, :, :n_full].set(k_pack),
@@ -692,6 +737,8 @@ def prefill(
                 k_out_val=cache.k_out_val.at[:, :, :nbs].set(ko_v),
                 v_out_idx=cache.v_out_idx.at[:, :, :nbs].set(vo_i),
                 v_out_val=cache.v_out_val.at[:, :, :nbs].set(vo_v),
+                k_out_bnd=cache.k_out_bnd.at[:, :, :nbs].set(ko_b),
+                v_out_bnd=cache.v_out_bnd.at[:, :, :nbs].set(vo_b),
             )
         if use_lowrank and max(spec.prefill_rank,
                                spec.prefill_rank_v_eff) > 0:
@@ -744,8 +791,8 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
     g = spec.group
     kb = cache.k_resid.astype(jnp.float32)
     vb = cache.v_resid.astype(jnp.float32)
-    k_pack, k_scale, k_mn, ko_i, ko_v = _compress_k_block(spec, kb)
-    v_pack, v_scale, v_mn, vo_i, vo_v = _compress_v_block(spec, vb)
+    k_pack, k_scale, k_mn, ko_i, ko_v, ko_b = _compress_k_block(spec, kb)
+    v_pack, v_scale, v_mn, vo_i, vo_v, vo_b = _compress_v_block(spec, vb)
 
     blk = cache.comp_len // g
     b, h, d = spec.batch, spec.num_kv_heads, spec.head_dim
@@ -780,6 +827,10 @@ def _flush(spec: CacheSpec, cache: LayerCache, key, use_lowrank: bool) -> LayerC
                 cache.v_out_idx, vo_i, (0, 0, blk, 0)),
             v_out_val=jax.lax.dynamic_update_slice(
                 cache.v_out_val, vo_v, (0, 0, blk, 0)),
+            k_out_bnd=jax.lax.dynamic_update_slice(
+                cache.k_out_bnd, ko_b, (0, 0, blk, 0)),
+            v_out_bnd=jax.lax.dynamic_update_slice(
+                cache.v_out_bnd, vo_b, (0, 0, blk, 0)),
         )
     if use_lowrank and max(spec.rank, spec.rank_v_eff) > 0:
         kk, kv = jax.random.split(jax.random.fold_in(key, 0))

@@ -157,7 +157,9 @@ def _decode_kernel(
     #    kernel roll-slices its chunk's columns. Paged: [1, 1, R, PB].]
     #   [if ko: koi_ref, kov_ref, voi_ref, vov_ref — COO outlier deltas,
     #    idx packed 2x16-bit/int32 [HB, NB, KO//2], values [HB, NB, KO]
-    #    (dense; sublanes sliced per chunk) or [1, 1, CB, KO(/2)] (paged)]
+    #    (dense; sublanes sliced per chunk) or [1, 1, CB, KO(/2)] (paged),
+    #    then kob_ref, vob_ref — sorted-outlier boundary tables int32
+    #    [HB, NB, 128] / [1, 1, CB, 128] (see cache._sort_outliers)]
     #   out_ref,      [HB, GQ, D]  f32  (final normalized attention output)
     #   acc_ref, m_ref, l_ref  (VMEM scratch, [HB*GQ, .])
     *args,
@@ -177,10 +179,12 @@ def _decode_kernel(
     else:
         kpts_ref = kqts_ref = vqts_ref = vpts_ref = None
     if ko:
-        koi_ref, kov_ref, voi_ref, vov_ref = args[pos:pos + 4]
-        pos += 4
+        (koi_ref, kov_ref, voi_ref, vov_ref,
+         kob_ref, vob_ref) = args[pos:pos + 6]
+        pos += 6
     else:
         koi_ref = kov_ref = voi_ref = vov_ref = None
+        kob_ref = vob_ref = None
     out_ref, acc_ref, m_ref, l_ref = args[pos:pos + 4]
 
     nc = pl.program_id(1)
@@ -240,6 +244,51 @@ def _decode_kernel(
                 jax.lax.shift_right_logical(pltpu.bitcast(oi, jnp.uint32),
                                             jnp.uint32(16)), jnp.int32)
             return jnp.concatenate([lo, hi], axis=1), ov.astype(f32)
+
+        def _bchunk(bref):
+            """Boundary-table rows for THIS chunk: [CB, 128] int32."""
+            if bref.shape[-2] != cb:  # dense layout: rows cover all NB
+                lead = len(bref.shape) - 2
+                pre = ((h,) + (0,) * (lead - 1))[:lead]
+                return bref[pre + (pl.ds(nc * cb, cb), slice(None))]
+            return sl(bref, 2)
+
+        def _cumsum_windows(wins, u_tri):
+            """Per-128-window inclusive running sums of the outlier value
+            windows, chained by a carried total: sw_i[q, j] = sum of all
+            entries up to global lane 128*i + j. The cumsum is ONE MXU dot
+            with a constant lower-triangular matrix per window — same pass
+            count as the one-hot scatter dots it replaces, but no
+            data-dependent VPU one-hot builds."""
+            out, carry = [], None
+            for w in wins:
+                sw = _dot(w, u_tri, (((1,), (0,))))      # [GQ, 128] f32
+                if carry is not None:
+                    sw = sw + carry
+                out.append(sw)
+                carry = sw[:, 127:128]                    # [GQ, 1]
+            return out
+
+        def _gather_bnd_diff(s_wins, e_row):
+            """Segmented sums from running sums: gather each boundary's
+            running total and difference against the previous boundary.
+            ``e_row`` [1, 128] int32 with e[t] = (# entries with key <= t)
+            - 1; returns [GQ, 128] per-key contributions."""
+            eb = jnp.broadcast_to(e_row, (gq, 128))
+            gsel = jnp.take_along_axis(
+                s_wins[0], jnp.clip(eb, 0, 127), axis=1)
+            for i in range(1, len(s_wins)):
+                gi = jnp.take_along_axis(
+                    s_wins[i], jnp.clip(eb - 128 * i, 0, 127), axis=1)
+                gsel = jnp.where(eb >= 128 * i, gi, gsel)
+            gsel = jnp.where(eb < 0, 0.0, gsel)
+            if interpret:
+                prev = jnp.roll(gsel, 1, axis=1)
+            else:
+                prev = pltpu.roll(gsel, 1, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (gq, 128), 1)
+            prev = jnp.where(lane == 0, 0.0, prev)
+            return gsel - prev
 
         def _chunk_cols(tile, width):
             """Columns [nc*width, (nc+1)*width) of a full-lane-row scale
@@ -314,11 +363,42 @@ def _decode_kernel(
             if use_mn:
                 mnq = _dot_f32(q32, sl(kmn_ref, 2).astype(f32),
                                (((1,), (1,))))               # [GQ, CB]
+            # Sorted-boundary eligibility: the q/p gather sides need d==128
+            # full-lane windows (hardware lane gather); the segmented-sum
+            # scatter replacement additionally needs the per-key boundary
+            # tables, whose 128 lanes must cover the key range (tokens for
+            # K: g <= 128; channels for V: d == 128).
+            k_gather_ok = (bool(ko) and d == 128 and ko % 128 == 0
+                           and "nobnd" not in ablate)
+            v_gather_ok = (bool(ko) and d == 128 and ko % 128 == 0
+                           and g in (64, 128) and chunk % 128 == 0
+                           and "nobnd" not in ablate)
+            # Measured on v5e (8k ctx, INT2 canonical GEAR, hb=4): the V
+            # boundary path wins (kills the [D,128] one-hot builds, the
+            # largest VPU cost) while the K boundary path LOSES to the
+            # plain one-hot token scatter at hb>=4 (longer serial
+            # gather->cumsum->gather chains; K's one-hot is only [g,128]).
+            # Defaults = the winning mix; "kseg" opts K into the boundary
+            # form, "noseg"/"novseg" force one-hot everywhere (A/B).
+            k_bnd_ok = (k_gather_ok and g <= 128 and "kseg" in ablate
+                        and not {"noseg", "nokseg"} & ablate)
+            v_bnd_ok = v_gather_ok and not {"noseg", "novseg"} & ablate
             if ko:
                 koi, kov = _ochunk(koi_ref, kov_ref)         # [CB, KO]
                 kt_loc, kd_col = _split_oidx(koi)
-                iota_dko = jax.lax.broadcasted_iota(jnp.int32, (d, ko), 0)
-                iota_gko = jax.lax.broadcasted_iota(jnp.int32, (g, ko), 0)
+                if k_bnd_ok or v_bnd_ok:
+                    # constant inclusive-prefix matrix: u_tri[o, j] = o <= j
+                    u_tri = (jax.lax.broadcasted_iota(
+                                 jnp.int32, (128, 128), 0)
+                             <= jax.lax.broadcasted_iota(
+                                 jnp.int32, (128, 128), 1)).astype(bf)
+                if k_bnd_ok:
+                    kob = _bchunk(kob_ref)                   # [CB, 128]
+                if not k_bnd_ok:
+                    iota_dko = jax.lax.broadcasted_iota(
+                        jnp.int32, (d, ko), 0)
+                    iota_gko = jax.lax.broadcasted_iota(
+                        jnp.int32, (g, ko), 0)
 
             def _k_outlier_piece(c):
                 # q gathered at the outlier channels, folded with the
@@ -326,26 +406,33 @@ def _decode_kernel(
                 # dot). Replaces the reference's never-implemented fused
                 # outlier slots (modeling_llamagear.py:458-466).
                 #
-                # The gather side uses the hardware lane gather when
-                # eligible (v5e: take_along_axis on exactly [*, 128] f32
-                # with same-width int32 indices) — one instruction vs a
-                # [D, KO] one-hot BUILD + MXU dot; the builds are the
-                # dominant outlier cost (docs/STATUS.md round-3 #6).
-                # KO is padded to a multiple of 128 at cache build time
-                # (spec.ko_store) whenever d == 128, so every window is
-                # exactly 128 lanes — a ragged tail would need a pad
-                # concat of lane-offset-mismatched vectors, which Mosaic
-                # rejects ("offset mismatch on non-concat dimension").
-                if d == 128 and ko % 128 == 0:
-                    out = None
+                # Fully gather-based path: the gather side uses the
+                # hardware lane gather (v5e: take_along_axis on exactly
+                # [*, 128] f32 with same-width int32 indices; KO is padded
+                # to a 128 multiple at build, spec.ko_store) and the
+                # scatter side becomes running sums (one constant
+                # triangular MXU dot per window) gathered at the sorted
+                # per-token boundaries — NO data-dependent one-hot builds,
+                # which dominated the outlier cost (docs/STATUS.md #6).
+                if k_gather_ok:
+                    wins = []
                     for lo in range(0, ko, 128):
                         idx = kd_col[c:c + 1, lo:lo + 128]   # [1, 128]
                         qg = jnp.take_along_axis(
                             q32, jnp.broadcast_to(idx, (gq, 128)), axis=1)
-                        qgv = (qg * kov[c:c + 1, lo:lo + 128]).astype(bf)
+                        wins.append(
+                            (qg * kov[c:c + 1, lo:lo + 128]).astype(bf))
+                    if k_bnd_ok:
+                        s_wins = _cumsum_windows(wins, u_tri)
+                        contrib = _gather_bnd_diff(s_wins, kob[c:c + 1, :])
+                        return contrib[:, :g]                # [GQ, g]
+                    # "noseg" ablation: one-hot token scatter after the
+                    # lane gather (the pre-boundary hybrid, for A/B).
+                    out = None
+                    for i, lo in enumerate(range(0, ko, 128)):
                         wt = (kt_loc[c:c + 1, lo:lo + 128]
-                              == iota_gko[:, :128]).astype(bf)  # [g, 128]
-                        piece = _dot(qgv, wt, (((1,), (1,))))
+                              == iota_gko[:, :128]).astype(bf)
+                        piece = _dot(wins[i], wt, (((1,), (1,))))
                         out = piece if out is None else out + piece
                     return out                               # [GQ, g]
                 oh_d = (kd_col[c:c + 1, :] == iota_dko).astype(bf)
@@ -487,35 +574,45 @@ def _decode_kernel(
                 if ko:
                     voi, vov = _ochunk(voi_ref, vov_ref)     # [CB, KO]
                     vt_loc, vd_col = _split_oidx(voi)
-                    iota_dko = jax.lax.broadcasted_iota(
-                        jnp.int32, (d, ko), 0)
-                    iota_gko = jax.lax.broadcasted_iota(
-                        jnp.int32, (g, ko), 0)
-                    # gather side via the hardware lane gather when a
-                    # 128-lane window of p aligns with whole blocks (see
-                    # _k_outlier_piece); the attention weights at the
-                    # outlier tokens come from a [GQ, 128] f32 window of p
-                    # covering block c, at lane offset (c*g) % 128.
-                    vgather = (g in (64, 128) and chunk % 128 == 0
-                               and ko % 128 == 0)
+                    if v_bnd_ok:
+                        vob = _bchunk(vob_ref)               # [CB, 128]
+                    else:
+                        iota_dko = jax.lax.broadcasted_iota(
+                            jnp.int32, (d, ko), 0)
+                        iota_gko = jax.lax.broadcasted_iota(
+                            jnp.int32, (g, ko), 0)
+                    # Mirror of _k_outlier_piece: the attention weights at
+                    # the outlier tokens come from a [GQ, 128] f32 window
+                    # of p covering block c (hardware lane gather, offset
+                    # (c*g) % 128); entries are sorted by CHANNEL, so the
+                    # per-channel contribution is the boundary-gathered
+                    # running-sum difference — lands directly on the d=128
+                    # output lanes, no [D, KO] one-hot builds.
                     for c in range(cb):
-                        if vgather:
+                        if v_gather_ok:
                             w0 = (c * g) // 128 * 128
                             off = (c * g) % 128
                             win = p[:, w0:w0 + 128]          # f32 [GQ, 128]
-                            pvc = None
+                            wins = []
                             for lo in range(0, ko, 128):
                                 idx = vt_loc[c:c + 1, lo:lo + 128] + off
                                 pg = jnp.take_along_axis(
                                     win, jnp.broadcast_to(idx, (gq, 128)),
                                     axis=1)
-                                pgv = (pg
-                                       * vov[c:c + 1, lo:lo + 128]).astype(bf)
+                                wins.append(
+                                    (pg * vov[c:c + 1, lo:lo + 128]
+                                     ).astype(bf))
+                            if v_bnd_ok:
+                                s_wins = _cumsum_windows(wins, u_tri)
+                                pv = pv + _gather_bnd_diff(s_wins,
+                                                           vob[c:c + 1, :])
+                                continue
+                            # "noseg" ablation: one-hot channel scatter
+                            for i, lo in enumerate(range(0, ko, 128)):
                                 oh_d = (vd_col[c:c + 1, lo:lo + 128]
                                         == iota_dko[:, :128]).astype(bf)
-                                dd = _dot(pgv, oh_d, (((1,), (1,))))
-                                pvc = dd if pvc is None else pvc + dd
-                            pv = pv + pvc
+                                pv = pv + _dot(wins[i], oh_d,
+                                               (((1,), (1,))))
                             continue
                         wt = (vt_loc[c:c + 1, :] == iota_gko).astype(bf)
                         pg = _dot(p_bf[:, c * g:(c + 1) * g], wt,
@@ -649,11 +746,14 @@ def _decode_attention_call(
     if ko:
         # full [NB, KO(/2)] tiles per head; constant across j so Pallas only
         # DMAs them once per head — the kernel sublane-slices its chunk.
+        # Boundary tables ride along the same way ([NB, 128] int32).
         in_specs += [
             pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, 128), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((hb, nb, 128), lambda i, j, *_: (i, 0, 0)),
         ]
 
     out = pl.pallas_call(
@@ -759,6 +859,8 @@ def decode_attention(
     k_out_val: jax.Array | None = None,   # [BH, NB, KO] delta values
     v_out_idx: jax.Array | None = None,
     v_out_val: jax.Array | None = None,
+    k_out_bnd: jax.Array | None = None,   # int32 [BH, NB, 128] boundaries
+    v_out_bnd: jax.Array | None = None,
     *,
     bits: int,
     group: int,
@@ -795,7 +897,8 @@ def decode_attention(
     if base8:
         inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
     if k_out_idx is not None:
-        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
+        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val,
+                   k_out_bnd, v_out_bnd]
 
     statics = (bits, group, v_group, blocks_per_chunk, base8, use_lr,
                dual_region, kcvt, heads_per_step, k_out_idx is not None,
@@ -880,9 +983,10 @@ def attend_fused(
 
     if spec.outliers_per_block:
         outlier_args = (flat(cache.k_out_idx), flat(cache.k_out_val),
-                        flat(cache.v_out_idx), flat(cache.v_out_val))
+                        flat(cache.v_out_idx), flat(cache.v_out_val),
+                        flat(cache.k_out_bnd), flat(cache.v_out_bnd))
     else:
-        outlier_args = (None, None, None, None)
+        outlier_args = (None, None, None, None, None, None)
 
     out = decode_attention(
         lens,
@@ -950,6 +1054,8 @@ def decode_attention_paged(
     k_out_val: jax.Array | None = None,   # [P, H, PB, KO] delta values
     v_out_idx: jax.Array | None = None,
     v_out_val: jax.Array | None = None,
+    k_out_bnd: jax.Array | None = None,   # int32 [P, H, PB, 128]
+    v_out_bnd: jax.Array | None = None,
     *,
     bits: int,
     group: int,
@@ -1024,8 +1130,11 @@ def decode_attention_paged(
             pl.BlockSpec((1, 1, cb, ko), tok),
             pl.BlockSpec((1, 1, cb, ko // 2), tok),
             pl.BlockSpec((1, 1, cb, ko), tok),
+            pl.BlockSpec((1, 1, cb, 128), tok),
+            pl.BlockSpec((1, 1, cb, 128), tok),
         ]
-        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
+        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val,
+                   k_out_bnd, v_out_bnd]
 
     out = pl.pallas_call(
         kernel,
@@ -1108,9 +1217,10 @@ def attend_paged(
 
     if spec.outliers_per_block:
         outlier_args = (pool.k_out_idx, pool.k_out_val,
-                        pool.v_out_idx, pool.v_out_val)
+                        pool.v_out_idx, pool.v_out_val,
+                        pool.k_out_bnd, pool.v_out_bnd)
     else:
-        outlier_args = (None, None, None, None)
+        outlier_args = (None, None, None, None, None, None)
 
     out = decode_attention_paged(
         lens, pad_bh, bt,

@@ -82,6 +82,8 @@ class PagePool:
     k_out_val: jax.Array  # [P, H, PB, KO]
     v_out_idx: jax.Array  # int32 [P, H, PB, KO // 2]
     v_out_val: jax.Array  # [P, H, PB, KO]
+    k_out_bnd: jax.Array  # int32 [P, H, PB, 128] sorted-outlier boundaries
+    v_out_bnd: jax.Array  # int32 [P, H, PB, 128] (cache.LayerCache conv.)
     # int8-base scales (all-ones when base_bits == 16).
     kpt_scale: jax.Array  # [P, H, PB, R]
     kqt_scale: jax.Array  # [P, H, R, PB]
@@ -122,6 +124,8 @@ def init_pool(pspec: PagedSpec) -> PagePool:
         k_out_val=jnp.zeros((p, h, pb, s.ko_store), s.dtype),
         v_out_idx=jnp.zeros((p, h, pb, s.ko_store // 2), jnp.int32),
         v_out_val=jnp.zeros((p, h, pb, s.ko_store), s.dtype),
+        k_out_bnd=jnp.zeros((p, h, pb, s.bnd_lanes), jnp.int32),
+        v_out_bnd=jnp.zeros((p, h, pb, s.bnd_lanes), jnp.int32),
         kpt_scale=jnp.ones((p, h, pb, r), jnp.float32),
         kqt_scale=jnp.ones((p, h, r, pb), jnp.float32),
         vpt_scale=jnp.ones((p, h, pb, r), jnp.float32),
@@ -264,6 +268,8 @@ def _scatter_prefix_into_pages(
             ("k_out_val", dense.k_out_val, None, 2),
             ("v_out_idx", dense.v_out_idx, None, 2),
             ("v_out_val", dense.v_out_val, None, 2),
+            ("k_out_bnd", dense.k_out_bnd, None, 2),
+            ("v_out_bnd", dense.v_out_bnd, None, 2),
         ]
     for leaf, dleaf, tok_axis, blk_axis in rows:
         arr = getattr(pool, leaf)
@@ -409,8 +415,10 @@ def _append_paged_impl(
     def flush_row(pool, seqs, rowi, subkey):
         kb = seqs.k_resid[rowi:rowi + 1].astype(jnp.float32)
         vb = seqs.v_resid[rowi:rowi + 1].astype(jnp.float32)
-        k_pack, k_scale, k_mn, ko_i, ko_v = kvcache._compress_k_block(spec, kb)
-        v_pack, v_scale, v_mn, vo_i, vo_v = kvcache._compress_v_block(spec, vb)
+        k_pack, k_scale, k_mn, ko_i, ko_v, ko_b = \
+            kvcache._compress_k_block(spec, kb)
+        v_pack, v_scale, v_mn, vo_i, vo_v, vo_b = \
+            kvcache._compress_v_block(spec, vb)
         blk = seqs.comp_len[rowi] // g            # global block index
         pid = seqs.block_table[rowi, blk // pb]   # tail page
         off = blk % pb                            # block offset in page
@@ -449,6 +457,8 @@ def _append_paged_impl(
                 k_out_val=upd_blk(pool.k_out_val, ko_v),
                 v_out_idx=upd_blk(pool.v_out_idx, vo_i),
                 v_out_val=upd_blk(pool.v_out_val, vo_v),
+                k_out_bnd=upd_blk(pool.k_out_bnd, ko_b),
+                v_out_bnd=upd_blk(pool.v_out_bnd, vo_b),
             )
         if use_lowrank and max(spec.rank, spec.rank_v_eff) > 0:
             # Same key chain as the dense path (cache.append -> _flush) so a
@@ -537,6 +547,7 @@ def _gather_row(
         v_mn=gtok(pool.v_mn),
         k_out_idx=gblk(pool.k_out_idx), k_out_val=gblk(pool.k_out_val),
         v_out_idx=gblk(pool.v_out_idx), v_out_val=gblk(pool.v_out_val),
+        k_out_bnd=gblk(pool.k_out_bnd), v_out_bnd=gblk(pool.v_out_bnd),
         k_resid=k_resid[None], v_resid=v_resid[None],
         kpt=gblk(pool.kpt), kqt=gtok(pool.kqt),
         vpt=gblk(pool.vpt), vqt=gtok(pool.vqt),

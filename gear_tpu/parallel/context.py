@@ -74,6 +74,8 @@ def split_cache(spec: CacheSpec, cache: LayerCache, n_shards: int
         k_out_val=split_t(cache.k_out_val, 2),
         v_out_idx=split_t(cache.v_out_idx, 2),
         v_out_val=split_t(cache.v_out_val, 2),
+        k_out_bnd=split_t(cache.k_out_bnd, 2),
+        v_out_bnd=split_t(cache.v_out_bnd, 2),
         kpt=split_t(cache.kpt, 2),
         kqt=split_t(cache.kqt, 3),
         vpt=split_t(cache.vpt, 2),

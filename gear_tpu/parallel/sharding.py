@@ -77,6 +77,7 @@ def cache_pspecs(stacked: bool = True) -> LayerCache:
         k_resid=ps(None, None), v_resid=ps(None, None),
         k_out_idx=ps(None, None), k_out_val=ps(None, None),
         v_out_idx=ps(None, None), v_out_val=ps(None, None),
+        k_out_bnd=ps(None, None), v_out_bnd=ps(None, None),
         kpt=ps(None, None, None), kqt=ps(None, None),
         vpt=ps(None, None, None), vqt=ps(None, None),
         kpt_scale=ps(None, None), kqt_scale=ps(None, None),

@@ -270,3 +270,46 @@ def test_rankv_zero_v_side(rng):
     got = K.attend_fused(spec, cache, q, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=8e-3)
+
+
+@pytest.mark.parametrize("abl", ["", "kseg", "noseg", "nobnd"])
+def test_kernel_outlier_scatter_strategies_agree(rng, abl):
+    """All outlier scatter strategies must match the XLA restore path:
+    default = K one-hot token scatter + V boundary segmented-sum (measured
+    fastest at hb>=4 on v5e), "kseg" = boundary on both, "noseg" = one-hot
+    on both (lane-gather kept), "nobnd" = the pure one-hot fallback with no
+    lane gathers. d=128 so ko_store pads 20 -> 128 (the padded entries are
+    zero-delta no-ops)."""
+    spec = mk_spec(outliers_per_block=20, base_bits=8)
+    assert spec.ko_store == 128
+    shape = (spec.batch, spec.num_kv_heads, 256, spec.head_dim)
+    k = rng.standard_normal(shape).astype(np.float32)
+    v = rng.standard_normal(shape).astype(np.float32)
+    k += 8.0 * rng.standard_normal(shape).astype(np.float32) * (
+        rng.random(shape) < 0.01)
+    cache = C.prefill(spec, jnp.asarray(k), jnp.asarray(v))
+    q = jnp.asarray(
+        rng.standard_normal((spec.batch, 4, 1, spec.head_dim)).astype(np.float32))
+    want = C.attend(spec, cache, q)
+    got = K.attend_fused(spec, cache, q, interpret=True,
+                         ablate=frozenset([abl]) if abl else frozenset())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=8e-3)
+
+
+def test_sorted_outlier_boundary_table_semantics(rng):
+    """bnd[..., t] = (# entries with key <= t) - 1 over the SORTED entries;
+    K sorted by token, V sorted by channel (cache._sort_outliers)."""
+    spec = mk_spec(outliers_per_block=164, batch=1, num_kv_heads=1)
+    cache = rand_cache(rng, spec, 256)
+    d, g = spec.head_dim, spec.group
+    ki = np.asarray(C._unpack_oidx(cache.k_out_idx))[0, 0]
+    kb = np.asarray(cache.k_out_bnd)[0, 0]
+    vi = np.asarray(C._unpack_oidx(cache.v_out_idx))[0, 0]
+    vb = np.asarray(cache.v_out_bnd)[0, 0]
+    for n in range(ki.shape[0]):
+        kk, vk = ki[n] // d, vi[n] % d
+        assert np.all(np.diff(kk) >= 0) and np.all(np.diff(vk) >= 0)
+        for t in range(0, 128, 17):
+            assert kb[n, t] == np.sum(kk <= t) - 1
+            assert vb[n, t] == np.sum(vk <= t) - 1
