@@ -76,7 +76,10 @@ class GearLM:
         if mode is None:
             mode = "fused" if comp.compress_method != "NONE" else "raw"
         if attn_impl is None:
-            attn_impl = ("pallas" if jax.default_backend() == "tpu"
+            # heads_per_step=4 measured fastest on v5e at 8k ctx (kbench);
+            # clamp to the head count for small models.
+            hb = min(4, cfg.num_kv_heads)
+            attn_impl = (f"pallas@{hb}" if jax.default_backend() == "tpu"
                          else "xla")
         ecfg = EngineConfig(max_len=max_len, mode=mode,
                             eos_token_id=eos_token_id,

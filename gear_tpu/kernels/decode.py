@@ -373,32 +373,74 @@ def _decode_kernel(
             v_gather_ok = (bool(ko) and d == 128 and ko % 128 == 0
                            and g in (64, 128) and chunk % 128 == 0
                            and "nobnd" not in ablate)
-            # Measured on v5e (8k ctx, INT2 canonical GEAR, hb=4): the V
-            # boundary path wins (kills the [D,128] one-hot builds, the
-            # largest VPU cost) while the K boundary path LOSES to the
-            # plain one-hot token scatter at hb>=4 (longer serial
-            # gather->cumsum->gather chains; K's one-hot is only [g,128]).
-            # Defaults = the winning mix; "kseg" opts K into the boundary
-            # form, "noseg"/"novseg" force one-hot everywhere (A/B).
-            k_bnd_ok = (k_gather_ok and g <= 128 and "kseg" in ablate
-                        and not {"noseg", "nokseg"} & ablate)
+            # K boundary form: per-block contributions are g-lane tiles; a
+            # bare per-block segmented-sum emits [GQ, 128] tiles that must
+            # be SLICED to [GQ, g] (misaligned concat relayouts — measured
+            # slower than the one-hot scatter at hb>=4). The tile form
+            # instead processes 128//g consecutive blocks per tile with a
+            # combined boundary row (block w's boundaries offset by w*KO
+            # into the tile-cumulative running sum), emitting ALIGNED
+            # [GQ, 128] tiles and zero data-dependent one-hot builds.
+            # Measured on v5e (8k ctx INT2 canonical, hb=4, in-run): the
+            # tile form is 215.5us vs 197.1 for K one-hot + V boundary —
+            # the 4-deep cross-window carry chain serializes worse than
+            # the [g,128] one-hot builds cost. Keep it opt-in ("kseg").
+            k_tile_ok = (k_gather_ok and g in (64, 128)
+                         and chunk % 128 == 0 and "kseg" in ablate
+                         and not {"noseg", "nokseg"} & ablate)
             v_bnd_ok = v_gather_ok and not {"noseg", "novseg"} & ablate
             if ko:
                 koi, kov = _ochunk(koi_ref, kov_ref)         # [CB, KO]
                 kt_loc, kd_col = _split_oidx(koi)
-                if k_bnd_ok or v_bnd_ok:
+                if k_tile_ok or v_bnd_ok:
                     # constant inclusive-prefix matrix: u_tri[o, j] = o <= j
                     u_tri = (jax.lax.broadcasted_iota(
                                  jnp.int32, (128, 128), 0)
                              <= jax.lax.broadcasted_iota(
                                  jnp.int32, (128, 128), 1)).astype(bf)
-                if k_bnd_ok:
+                if k_tile_ok:
                     kob = _bchunk(kob_ref)                   # [CB, 128]
-                if not k_bnd_ok:
+                else:
                     iota_dko = jax.lax.broadcasted_iota(
                         jnp.int32, (d, ko), 0)
                     iota_gko = jax.lax.broadcasted_iota(
                         jnp.int32, (g, ko), 0)
+
+            def _k_ko_corr():
+                """[GQ, CHUNK] outlier score correction in aligned 128-lane
+                tiles (one tile = 128//g consecutive blocks)."""
+                rpb = 128 // g
+                tiles = []
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                for t0 in range(0, cb, rpb):
+                    wins = []
+                    for w in range(rpb):
+                        c = t0 + w
+                        for lo in range(0, ko, 128):
+                            idx = kd_col[c:c + 1, lo:lo + 128]
+                            qg = jnp.take_along_axis(
+                                q32, jnp.broadcast_to(idx, (gq, 128)),
+                                axis=1)
+                            wins.append((qg * kov[c:c + 1, lo:lo + 128]
+                                         ).astype(bf))
+                    s_wins = _cumsum_windows(wins, u_tri)
+                    if rpb == 1:
+                        e = kob[t0:t0 + 1, :]
+                    else:
+                        # combined boundary row: lanes [0, g) from block
+                        # t0, [g, 128) from block t0+1 shifted into place
+                        # (roll + select — Mosaic rejects the equivalent
+                        # lane concat) and offset by KO into the
+                        # tile-cumulative running sum.
+                        r0 = kob[t0:t0 + 1, :]
+                        r1 = kob[t0 + 1:t0 + 2, :] + ko
+                        if interpret:
+                            r1 = jnp.roll(r1, g, axis=1)
+                        else:
+                            r1 = pltpu.roll(r1, g, 1)
+                        e = jnp.where(lane < g, r0, r1)
+                    tiles.append(_gather_bnd_diff(s_wins, e))
+                return jnp.concatenate(tiles, axis=1)        # [GQ, CHUNK]
 
             def _k_outlier_piece(c):
                 # q gathered at the outlier channels, folded with the
@@ -415,24 +457,18 @@ def _decode_kernel(
                 # per-token boundaries — NO data-dependent one-hot builds,
                 # which dominated the outlier cost (docs/STATUS.md #6).
                 if k_gather_ok:
-                    wins = []
+                    # hybrid: hardware lane gather for q, one-hot token
+                    # scatter dot (used when the tile form is ineligible
+                    # or ablated off).
+                    out = None
                     for lo in range(0, ko, 128):
                         idx = kd_col[c:c + 1, lo:lo + 128]   # [1, 128]
                         qg = jnp.take_along_axis(
                             q32, jnp.broadcast_to(idx, (gq, 128)), axis=1)
-                        wins.append(
-                            (qg * kov[c:c + 1, lo:lo + 128]).astype(bf))
-                    if k_bnd_ok:
-                        s_wins = _cumsum_windows(wins, u_tri)
-                        contrib = _gather_bnd_diff(s_wins, kob[c:c + 1, :])
-                        return contrib[:, :g]                # [GQ, g]
-                    # "noseg" ablation: one-hot token scatter after the
-                    # lane gather (the pre-boundary hybrid, for A/B).
-                    out = None
-                    for i, lo in enumerate(range(0, ko, 128)):
+                        qgv = (qg * kov[c:c + 1, lo:lo + 128]).astype(bf)
                         wt = (kt_loc[c:c + 1, lo:lo + 128]
                               == iota_gko[:, :128]).astype(bf)
-                        piece = _dot(wins[i], wt, (((1,), (1,))))
+                        piece = _dot(qgv, wt, (((1,), (1,))))
                         out = piece if out is None else out + piece
                     return out                               # [GQ, g]
                 oh_d = (kd_col[c:c + 1, :] == iota_dko).astype(bf)
@@ -442,6 +478,7 @@ def _decode_kernel(
                 return _dot(qgv, wt, (((1,), (1,))))         # [GQ, g]
 
             def _scores_blockwise(include_ko):
+                per_block_ko = include_ko and not k_tile_ok
                 pieces = []
                 for c in range(cb):
                     qs = (q32 * kscale[c:c + 1, :]).astype(bf)   # [GQ, D]
@@ -449,10 +486,13 @@ def _decode_kernel(
                               (((1,), (0,))))                # [GQ, g] f32
                     if use_mn:
                         sc = sc + mnq[:, c:c + 1]
-                    if include_ko:
+                    if per_block_ko:
                         sc = sc + _k_outlier_piece(c)
                     pieces.append(sc)
-                return jnp.concatenate(pieces, axis=1)       # [GQ, CHUNK]
+                out = jnp.concatenate(pieces, axis=1)        # [GQ, CHUNK]
+                if include_ko and k_tile_ok:
+                    out = out + _k_ko_corr()
+                return out
 
             def _k_lr_fast():
                 # Whole chunk inside the prefill region: ONE shared P, and
@@ -490,8 +530,8 @@ def _decode_kernel(
                 if use_mn:
                     s = s + mnq[:, 0:1]
                 if ko:
-                    s = s + jnp.concatenate(
-                        [_k_outlier_piece(c) for c in range(cb)], axis=1)
+                    s = s + (_k_ko_corr() if k_tile_ok else jnp.concatenate(
+                        [_k_outlier_piece(c) for c in range(cb)], axis=1))
             else:
                 s = _scores_blockwise(bool(ko))
             if use_lr:

@@ -170,6 +170,26 @@ def main():
     rel = float(np.abs(got - want).mean() / np.abs(want).mean())
     print(f"fused rel err vs XLA reference: {rel:.4f}", flush=True)
 
+    if any(v.startswith("gear") and not v.startswith("gearl")
+           for v in variants):
+        # on-device spot check of the full-GEAR (outlier) kernel config at
+        # a small T (fresh spec to keep the attend reference compile fast)
+        gs = C.CacheSpec(batch=1, num_kv_heads=2, head_dim=D, max_len=1024,
+                         bits=2, group=64, rank=2, prefill_rank=4,
+                         lowrank_loop=3, base_bits=8, outliers_per_block=164,
+                         v_group_size=D, kcvt_prefill=True,
+                         dtype=jnp.bfloat16, sideband_dtype=jnp.bfloat16)
+        kk = jnp.asarray(rng.standard_normal((1, 2, 1024, D)).astype(np.float32))
+        vv = jnp.asarray(rng.standard_normal((1, 2, 1024, D)).astype(np.float32))
+        gc = C.prefill(gs, kk, vv)
+        qq = jnp.asarray(rng.standard_normal((1, 2, 1, D)).astype(np.float32))
+        got = np.asarray(K.attend_fused(gs, gc, qq, blocks_per_chunk=16,
+                                        heads_per_step=2), np.float32)
+        want = np.asarray(C.attend(gs, gc, qq), np.float32)
+        rel = float(np.abs(got - want).mean() / np.abs(want).mean())
+        print(f"GEAR(outliers) rel err vs XLA reference: {rel:.4f}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
