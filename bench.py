@@ -321,7 +321,7 @@ def stage_model():
             best = dt if best is None else min(best, dt)
         return best
 
-    dt_fused = run(True, "pallas_interpret" if INTERPRET else "pallas")
+    dt_fused = run(True, "pallas_interpret" if INTERPRET else "pallas@4")
     RESULT["model_tok_s_fused"] = round(1.0 / dt_fused, 1)
     RESULT["model_config"] = "16L x 2048h, 8k ctx, INT2 GEARL, B=1"
     emit()

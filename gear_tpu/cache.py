@@ -385,10 +385,12 @@ def _sort_outliers(spec: CacheSpec, o_idx: jax.Array, o_val: jax.Array,
         return _pack_oidx(o_idx), o_val, bnd
     d = spec.head_dim
     key = o_idx // d if key_mode == "token" else o_idx % d
-    order = jnp.argsort(key, axis=-1, stable=True)
-    idx_s = jnp.take_along_axis(o_idx, order, axis=-1)
-    val_s = jnp.take_along_axis(o_val, order, axis=-1)
-    key_s = jnp.take_along_axis(key, order, axis=-1)
+    # variadic lax.sort (co-sort, stable) instead of argsort +
+    # take_along_axis: the gather form inside append's flush lax.cond
+    # segfaults the XLA:CPU compiler (same bug class as the vmapped
+    # scatter noted in _extract_outliers / paged.append_paged).
+    key_s, idx_s, val_s = jax.lax.sort((key, o_idx, o_val), num_keys=1,
+                                       is_stable=True)
     t = jnp.arange(128, dtype=jnp.int32)
     bnd = (jnp.sum(key_s[..., None, :] <= t[:, None], axis=-1) - 1
            ).astype(jnp.int32)                      # [..., 128]
@@ -875,6 +877,12 @@ def append(
 ) -> LayerCache:
     """Append one decode step's K/V [B,H,1,D]; flush the residual tier into
     the packed prefix when it fills to ``group`` tokens (lax.cond — jit-safe).
+
+    Capacity: total tokens must stay <= ``spec.max_len``. A flush past
+    capacity silently CLAMPS its dynamic_update_slice starts onto the last
+    block (mixed per-block state the fast dual-region path mis-reads) —
+    callers (engine/serving) size max_len for prompt + max_new_tokens; use
+    ``runtime.faults`` guards when generating unbounded.
     """
     i = cache.resid_len
     cache = cache.replace(

@@ -28,6 +28,23 @@ def rng():
     return np.random.default_rng(0)
 
 
+# The XLA:CPU backend segfaults nondeterministically in compiles once a
+# single process accumulates enough live executables (observed repeatedly
+# around test ~135 of the full suite, always inside
+# backend_compile_and_load, at varying call sites). Dropping the JAX
+# caches every N tests keeps the live-executable volume bounded; the
+# recompiles cost ~1-2 min across the suite.
+_TEST_COUNT = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_cache_clear():
+    yield
+    _TEST_COUNT["n"] += 1
+    if _TEST_COUNT["n"] % 30 == 0:
+        jax.clear_caches()
+
+
 def has_n_cpu_devices(n: int) -> bool:
     return jax.device_count() >= n
 

@@ -31,8 +31,8 @@ def test_quant_pack_channels_matches_xla(rng, bits):
     spec = CacheSpec(batch=1, num_kv_heads=1, head_dim=d, max_len=s,
                      bits=bits, group=g, dtype=jnp.float32,
                      sideband_dtype=jnp.float32)
-    packed_ref, scale_ref, mn_ref, _, _ = _compress_k_block(
-        spec, x[None, None])
+    packed_ref, scale_ref, mn_ref = _compress_k_block(
+        spec, x[None, None])[:3]
     # _compress_k_block stores words transposed [WD, S]; the kernel emits
     # block-major [NBs, G, WD].
     np.testing.assert_array_equal(
