@@ -330,13 +330,52 @@ def stage_model():
     RESULT["model_vs_baseline"] = round(dt_raw / dt_fused, 3)
 
 
+def subprocess_health_loop(total_budget=390, probe_s=80, gap_s=75):
+    """Probe device health in CLEAN SUBPROCESSES, retrying across the budget.
+
+    The tunnel's wedge OSCILLATES (short healthy windows between long
+    wedges, observed round 4) and a hung in-process probe poisons this
+    process (the C call never returns; only os._exit escapes) — so each
+    probe is a child process killed on timeout, and one bench invocation
+    gets several shots at catching a healthy window. Returns True on the
+    first healthy probe."""
+    import subprocess
+    t_end = time.time() + min(total_budget, remaining() - 120)
+    attempt = 0
+    while time.time() < t_end:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import numpy as np, jax.numpy as jnp;"
+                 "import time;"
+                 "x = jnp.full((128,128), 1.0 + (time.time() % 7));"
+                 "print(float(np.asarray(x @ x).sum()))"],
+                timeout=probe_s, capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if r.returncode == 0:
+                RESULT["health_attempts"] = attempt
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        RESULT["health_attempts"] = attempt
+        if time.time() + gap_s + probe_s < t_end:
+            time.sleep(gap_s)
+        else:
+            break
+    return False
+
+
 def main():
-    # Health probe: label a start-of-run wedge distinctly so the record says
+    # Health gate: label a start-of-run wedge distinctly so the record says
     # "never healthy" rather than "hung mid-benchmark".
-    _STAGE["retry_left"] = 1
-    ok = run_stage("health", 120, health_probe)
+    if os.environ.get("BENCH_CPU"):
+        ok = run_stage("health", 120, health_probe)
+    else:
+        _STAGE.update(name="health", budget=0)
+        ok = subprocess_health_loop()
     if not ok:
-        RESULT["error"] = "device unhealthy at start"
+        RESULT["error"] = "device unhealthy at start (all probes hung)"
         emit_and_exit()
     _STAGE["retry_left"] = 0
     run_stage("int2_gearl", 240, stage_headline)

@@ -226,3 +226,34 @@ def test_paged_kernel_int8_bases_and_outliers(rng, kw):
         np.testing.assert_allclose(
             np.asarray(got[row:row + 1]), np.asarray(want),
             rtol=3e-2, atol=1.5e-2)
+
+
+def test_paged_kernel_window_mask(rng):
+    """Sliding-window decode over paged sequences: the per-row window folds
+    into pad_start (kernels/decode.attend_paged) and must match the dense
+    windowed attend row by row."""
+    from gear_tpu.kernels import decode as K
+    pspec = mk(n_pages=8, page_blocks=2, max_len=512)
+    spec = pspec.spec
+    pool = P.init_pool(pspec)
+    seqs = P.init_seqs(pspec, batch=2)
+    al = P.PageAllocator(pspec.n_pages)
+    for row, s in enumerate([256 + 9, 128]):
+        shape = (1, spec.num_kv_heads, s, spec.head_dim)
+        k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        npages = (s // spec.group + pspec.page_blocks - 1) // pspec.page_blocks
+        ids = [al.alloc() for _ in range(npages)]
+        pool, seqs = P.prefill_paged(pspec, pool, seqs, row, ids, k, v,
+                                     key=jax.random.PRNGKey(row))
+    q = jnp.asarray(rng.standard_normal(
+        (2, 4, 1, spec.head_dim)).astype(np.float32))
+    w = 96
+    assert w >= spec.group
+    got = K.attend_paged(pspec, pool, seqs, q, window=w, interpret=True)
+    for row in range(2):
+        dense = P.gather_dense(pspec, pool, seqs, row)
+        want = C.attend(spec, dense, q[row:row + 1], window=w)
+        np.testing.assert_allclose(
+            np.asarray(got[row:row + 1]), np.asarray(want),
+            rtol=2e-2, atol=8e-3)
