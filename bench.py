@@ -378,11 +378,16 @@ def main():
         RESULT["error"] = "device unhealthy at start (all probes hung)"
         emit_and_exit()
     _STAGE["retry_left"] = 0
-    run_stage("int2_gearl", 240, stage_headline)
-    run_stage("bf16", 130, stage_bf16)
-    run_stage("int2_gear", 120, stage_gear_outliers)
-    run_stage("int2_gearl_kcvt", 90, stage_kcvt)
-    run_stage("int4_gearl", 90, stage_int4)
+    # Headline gets the big budget: after a tunnel-terminal restart the
+    # server compile cache is COLD and the prefill pack kernel + decode
+    # kernel Mosaic compiles alone take 2-6 min (observed round 4: a 240s
+    # budget starved the stage right after a recovery). bf16 compiles are
+    # cheap; later stages reuse the warmed kernels at different configs.
+    run_stage("int2_gearl", 340, stage_headline)
+    run_stage("bf16", 120, stage_bf16)
+    run_stage("int2_gear", 110, stage_gear_outliers)
+    run_stage("int2_gearl_kcvt", 80, stage_kcvt)
+    run_stage("int4_gearl", 80, stage_int4)
     run_stage("model", remaining() - 10, stage_model)
     emit()
 

@@ -535,10 +535,12 @@ def forward_decode_paged(
         if attn_impl.startswith("pallas"):
             attn = fused.attend_paged(
                 pspec, lpool, lseqs, q, pad_start=pad_start,
+                window=cfg.sliding_window,
                 interpret=attn_impl == "pallas_interpret")
         else:
             attn = paged_mod.attend_xla(pspec, lpool, lseqs, q,
-                                        pad_start=pad_start)
+                                        pad_start=pad_start,
+                                        window=cfg.sliding_window)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, -1)
         h = h + attn @ lp["wo"]
         x2 = rmsnorm(h, lp["mlp_norm"], cfg.rms_eps)

@@ -579,6 +579,7 @@ def attend_xla(
     *,
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """XLA fallback decode attention over paged sequences with PER-ROW
     lengths (vmapped single-row gather + attend). The Pallas path
@@ -591,7 +592,7 @@ def attend_xla(
     def one(bt_row, comp, resid, pre, kr, vr, q_row, pad_row):
         cache = _gather_row(pspec, pool, bt_row, comp, resid, pre, kr, vr)
         return kvcache.attend(spec, cache, q_row[None], sm_scale=sm_scale,
-                              pad_start=pad_row[None])[0]
+                              pad_start=pad_row[None], window=window)[0]
 
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
         seqs.block_table, seqs.comp_len, seqs.resid_len, seqs.prefill_len,
