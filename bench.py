@@ -174,19 +174,26 @@ def make_spec(**kw):
 
 
 class Ctx:
-    """Shared device tensors, built lazily inside the first stage."""
+    """Shared device tensors, built lazily inside the first stage.
+
+    Generated ON DEVICE (jax.random) — an h2d of the 67 MB numpy arrays
+    costs 200+ seconds over the tunnel (~0.3 MB/s effective; round-4
+    finding: the headline stage was h2d-dominated, not compile-dominated).
+    """
     k = v = q = None
     dt_bf16 = None
 
     @classmethod
     def init(cls):
+        import jax
         import jax.numpy as jnp
-        rng = np.random.default_rng(0)
         shape = (1, HEADS, CTX, HEAD_DIM)
-        cls.k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-        cls.v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
-        cls.q = jnp.asarray(rng.standard_normal(
-            (1, HEADS, 1, HEAD_DIM)).astype(np.float32)).astype(jnp.bfloat16)
+        kk, kv, kq = jax.random.split(jax.random.PRNGKey(0), 3)
+        cls.k = jax.random.normal(kk, shape, jnp.float32)
+        cls.v = jax.random.normal(kv, shape, jnp.float32)
+        cls.q = jax.random.normal(
+            kq, (1, HEADS, 1, HEAD_DIM), jnp.float32).astype(jnp.bfloat16)
+        np.asarray(cls.q)  # materialize before timing anything
 
 
 def attention_config(name, spec):
@@ -284,8 +291,9 @@ def stage_model():
                        v_group_size=128, dtype=jnp.bfloat16,
                        sideband_dtype=jnp.bfloat16)
     kv_shape = (1, 16, PRE, 128)
-    k = jnp.asarray(rng.standard_normal(kv_shape).astype(np.float32) * 0.3)
-    v = jnp.asarray(rng.standard_normal(kv_shape).astype(np.float32) * 0.3)
+    kk, kv = jax.random.split(jax.random.PRNGKey(7))
+    k = jax.random.normal(kk, kv_shape, jnp.float32) * 0.3
+    v = jax.random.normal(kv, kv_shape, jnp.float32) * 0.3
 
     def run(compress, attn_impl):
         if compress:
@@ -383,11 +391,11 @@ def main():
     # kernel Mosaic compiles alone take 2-6 min (observed round 4: a 240s
     # budget starved the stage right after a recovery). bf16 compiles are
     # cheap; later stages reuse the warmed kernels at different configs.
-    run_stage("int2_gearl", 340, stage_headline)
-    run_stage("bf16", 120, stage_bf16)
-    run_stage("int2_gear", 110, stage_gear_outliers)
-    run_stage("int2_gearl_kcvt", 80, stage_kcvt)
-    run_stage("int4_gearl", 80, stage_int4)
+    run_stage("int2_gearl", 300, stage_headline)
+    run_stage("bf16", 90, stage_bf16)
+    run_stage("int2_gear", 170, stage_gear_outliers)
+    run_stage("int2_gearl_kcvt", 70, stage_kcvt)
+    run_stage("int4_gearl", 70, stage_int4)
     run_stage("model", remaining() - 10, stage_model)
     emit()
 
