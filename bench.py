@@ -2,34 +2,48 @@
 
 Measures the BASELINE.json north-star components on the real chip. Hardened
 against the tunneled-TPU failure mode where a wedged device hangs every op
-(including h2d) indefinitely:
+(including h2d) indefinitely. Failure economics (VERDICT r4 task 1):
 
-  * a HEALTH PROBE (tiny matmul, short alarm) runs before anything else;
-    if the device is wedged the script emits an error JSON and exits fast;
+  * the CHEAP stages run FIRST: bf16 baseline (compiles in seconds) and an
+    H=8 headline rung — so even a run that dies in a later cold Mosaic
+    compile records a complete ratio;
   * every stage runs under its OWN alarm sub-budget, and the cumulative
-    RESULT line is printed+flushed after EVERY stage — the driver's record
-    keeps whatever finished, no matter where a later stage dies;
-  * the HEADLINE config runs FIRST (its us/step is meaningful alone); the
-    bf16 baseline runs second and vs_baseline is backfilled;
+    RESULT line is printed+flushed after EVERY stage AND at every phase
+    transition (prefill / compile / timing) — a timeout record says
+    WHERE it died ("phase": "int2_gearl:compile t=212s"), distinguishing
+    a slow compile from a wedge;
+  * the JAX persistent compilation cache is enabled (repo-local .jax_cache)
+    so a bench run after an in-session warm run hits warm compiles;
   * on the first in-stage hang the script emits and exits: once one op
     wedges, every later op queues behind it (observed r2/r3), so burning
-    the remaining budgets is pure loss.
+    the remaining budgets is pure loss;
+  * health probes are GRACEFUL children (internal alarm, os._exit before
+    the parent would SIGKILL them) spaced ~200s apart — a SIGKILLed TPU
+    client can itself re-wedge the device (ADVICE r4).
 
 Stage order (reference speed protocol: cuda_supported_gear/test.py:25-37,
 95-102 — batch generate wall-clock on a fused INT2 gearlKIVI config):
-  1. HEADLINE — decode attention at 8k context, Llama-2-7B attention shapes
-     (32 heads, head_dim 128), INT2 GEARL-KIVI: bit2 / group64 / rank2 /
-     loop3, int8 low-rank bases, per-token V quant over the full head dim.
+  1. bf16 baseline, H=8 rung -> us_per_step_bf16_h8 (seconds-cheap).
+  2. HEADLINE H=8 rung — INT2 GEARL-KIVI (bit2/group64/rank2/loop3, int8
+     bases, per-token V over the full head dim): vs_baseline_int2_gearl_h8.
      The reference's fused CUDA path never ran outliers
      (modeling_llamagear.py:458-466, slots always None), so GEARL is the
      apples-to-apples speed recipe. Baseline = uncompressed bf16 XLA attn.
-  2. bf16 baseline -> vs_baseline backfill.
-  3. INT2 GEAR canonical ACCURACY config (+2% exact COO outliers,
+  3. bf16 at H=32 (llama-2-7b attention shapes) -> us_per_step_bf16.
+  4. HEADLINE at H=32 -> value + vs_baseline (falls back to the H=8 rung
+     if this stage dies).
+  5. Model E2E: 8-layer decode loop (MLP + scan + sampling included),
+     B=1 @ 8k ctx, then the reference-protocol batch-8 variant
+     (batch 8, 1k-token prefill, test.py:25-37).
+  6. INT2 GEAR canonical ACCURACY config at H=32 (+2% exact COO outliers,
      prefill_rank 4 — run_template_llama2-13b.sh:4): the full recipe in ONE
      Pallas pass, beyond the reference's fused path.
-  4. GEARL-KCVT (run_template_llama2-13b.sh:8) — fastest config.
-  5. INT4 GEARL (round-1 continuity config).
-  6. A REAL 16-layer model decode loop (MLP + scan + sampling included).
+  7. GEARL-KCVT (run_template_llama2-13b.sh:8), INT4 GEARL, paged-pool
+     kernel (vs dense) with whatever budget remains.
+
+Every attention stage also emits its roofline: sol_us (speed-of-light at
+v5e HBM bandwidth), pct_sol, and effective gbps (BASELINE.md kernel
+efficiency row; gear_tpu/profiling.py).
 
 Prints cumulative JSON lines; the LAST line is the record.
 """
@@ -41,9 +55,24 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
 if os.environ.get("BENCH_CPU"):  # smoke-test mode (tests/test_bench_smoke.py)
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+if not os.environ.get("BENCH_NO_JAX_CACHE") and not os.environ.get("BENCH_CPU"):
+    # Persistent compile cache: survives process restarts client-side. On
+    # the axon tunnel executable serialization may be unsupported — failures
+    # are warnings, never fatal.
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
 
 INTERPRET = bool(os.environ.get("BENCH_CPU"))  # Pallas interpret on CPU
 HB = 4   # kernel heads_per_step (amortizes grid-step overhead; see kbench)
@@ -71,7 +100,14 @@ def emit_and_exit(code=0):
     os._exit(code)
 
 
-_STAGE = {"name": "init", "budget": 0, "retry_left": 0}
+_STAGE = {"name": "init", "budget": 0}
+
+
+def heartbeat(phase):
+    """Record + emit where the current stage is, so a timeout record
+    distinguishes 'compiling at t=212s' from 'wedged at h2d'."""
+    RESULT["phase"] = f"{_STAGE['name']}:{phase} t={int(time.time() - T0)}s"
+    emit()
 
 
 def _on_alarm(signum, frame):
@@ -82,10 +118,7 @@ def _on_alarm(signum, frame):
     # handler is proven to work on this tunnel — r2/r3 watchdog lines.)
     name = _STAGE["name"]
     RESULT[f"{name}_error"] = f"timeout after {_STAGE['budget']}s"
-    if _STAGE["retry_left"] > 0:
-        RESULT["error"] = "device wedged at start (health probe hung)"
-    else:
-        RESULT["error"] = f"device hung in stage {name!r}"
+    RESULT["error"] = f"device hung or still busy in stage {name!r}"
     emit_and_exit()
 
 
@@ -103,7 +136,7 @@ def run_stage(name, budget_s, fn):
     exceptions are recorded and the next stage still runs."""
     budget = int(min(budget_s, remaining()))
     if budget <= 5:
-        RESULT.setdefault("error", "global budget exhausted before " + name)
+        RESULT.setdefault("note", "global budget exhausted before " + name)
         emit_and_exit()
     _STAGE.update(name=name, budget=budget)
     signal.alarm(budget)
@@ -116,6 +149,7 @@ def run_stage(name, budget_s, fn):
         return False
     finally:
         signal.alarm(0)
+        RESULT.pop("phase", None)
         RESULT[f"s_{name}"] = round(time.time() - t0, 1)
         emit()
 
@@ -123,14 +157,14 @@ def run_stage(name, budget_s, fn):
 def health_probe():
     """Backend init + one tiny device round trip. ~5s healthy (+20-30s once
     for backend init); minutes-to-never when the tunnel is wedged."""
-    import jax
+    import jax  # noqa: F401
     import jax.numpy as jnp
     x = jnp.full((128, 128), 1.0 + (time.time() % 7))  # defeat memoization
     y = np.asarray(x @ x)
     assert np.isfinite(y).all()
 
 
-def bench_loop(f, c, q, n):
+def bench_loop(f, c, q, n, on_compiled=None):
     """Time n calls of f(c, q) under one jit fori_loop.
 
     The remote runtime MEMOIZES pointer-identical executions and
@@ -138,7 +172,6 @@ def bench_loop(f, c, q, n):
     input and the only reliable sync is a device->host fetch.
     """
     import jax
-    import numpy as np
 
     @jax.jit
     def loop(cache, q):
@@ -146,6 +179,8 @@ def bench_loop(f, c, q, n):
             return f(cache, x + i * 1e-9).astype(q.dtype)
         return jax.lax.fori_loop(0, n, body, q)
     np.asarray(loop(c, q))  # compile + warm
+    if on_compiled:
+        on_compiled()
     best = None
     for trial in range(3):
         q2 = q + (trial + 1) * 0.01
@@ -159,15 +194,16 @@ def bench_loop(f, c, q, n):
 
 CTX = int(os.environ.get("BENCH_CTX", 8192))
 HEADS = int(os.environ.get("BENCH_HEADS", 32))
+H8 = min(8, HEADS)  # first-rung head count (small compile, in-run anchor)
 HEAD_DIM, LAYERS = 128, 32
 N = int(os.environ.get("BENCH_N", 250))
 
 
-def make_spec(**kw):
+def make_spec(heads=None, **kw):
     import jax.numpy as jnp
     from gear_tpu import cache as C
-    base = dict(batch=1, num_kv_heads=HEADS, head_dim=HEAD_DIM, max_len=CTX,
-                group=64, lowrank_loop=3, dtype=jnp.bfloat16,
+    base = dict(batch=1, num_kv_heads=heads or HEADS, head_dim=HEAD_DIM,
+                max_len=CTX, group=64, lowrank_loop=3, dtype=jnp.bfloat16,
                 sideband_dtype=jnp.bfloat16)
     base.update(kw)
     return C.CacheSpec(**base)
@@ -181,12 +217,13 @@ class Ctx:
     finding: the headline stage was h2d-dominated, not compile-dominated).
     """
     k = v = q = None
-    dt_bf16 = None
 
     @classmethod
     def init(cls):
         import jax
         import jax.numpy as jnp
+        if cls.k is not None:
+            return
         shape = (1, HEADS, CTX, HEAD_DIM)
         kk, kv, kq = jax.random.split(jax.random.PRNGKey(0), 3)
         cls.k = jax.random.normal(kk, shape, jnp.float32)
@@ -195,22 +232,46 @@ class Ctx:
             kq, (1, HEADS, 1, HEAD_DIM), jnp.float32).astype(jnp.bfloat16)
         np.asarray(cls.q)  # materialize before timing anything
 
+    @classmethod
+    def at_heads(cls, h):
+        cls.init()
+        if h == HEADS:
+            return cls.k, cls.v, cls.q
+        return cls.k[:, :h], cls.v[:, :h], cls.q[:, :h]
 
-def attention_config(name, spec):
+
+def _suffix(heads):
+    return "" if heads == HEADS else f"_h{heads}"
+
+
+def _roofline_keys(name, spec, dt, q_heads, compressed=True):
+    from gear_tpu import profiling as P
+    roof = (P.decode_attention_roofline(spec, 1, q_heads)
+            if compressed else
+            P.raw_decode_attention_roofline(spec, 1, q_heads))
+    RESULT[f"sol_us_{name}"] = round(roof.sol_time_s * 1e6, 1)
+    RESULT[f"pct_sol_{name}"] = round(100 * roof.efficiency(dt), 1)
+    RESULT[f"gbps_{name}"] = round(roof.bytes_accessed / dt / 1e9, 1)
+
+
+def attention_config(name, spec, heads):
     from gear_tpu import cache as C
     from gear_tpu.kernels import decode as K
 
-    cache = C.prefill(spec, Ctx.k, Ctx.v)
+    k, v, q = Ctx.at_heads(heads)
+    heartbeat("prefill")
+    cache = C.prefill(spec, k, v)
     np.asarray(cache.comp_len)
+    heartbeat("compile")
     dt = bench_loop(
         lambda c, x, s=spec: K.attend_fused(s, c, x, blocks_per_chunk=CB,
                                             heads_per_step=HB,
                                             interpret=INTERPRET),
-        cache, Ctx.q, N)
-    got = np.asarray(K.attend_fused(spec, cache, Ctx.q, blocks_per_chunk=CB,
+        cache, q, N, on_compiled=lambda: heartbeat("timing"))
+    got = np.asarray(K.attend_fused(spec, cache, q, blocks_per_chunk=CB,
                                     heads_per_step=HB, interpret=INTERPRET),
                      np.float32)
-    want = np.asarray(C.attend(spec, cache, Ctx.q), np.float32)
+    want = np.asarray(C.attend(spec, cache, q), np.float32)
     rel = float(np.abs(got - want).mean() / np.abs(want).mean())
     assert np.isfinite(got).all() and rel < 0.05, f"{name} mismatch {rel}"
     RESULT[f"us_per_step_{name}"] = round(dt * 1e6, 1)
@@ -218,84 +279,136 @@ def attention_config(name, spec):
     RESULT[f"kv_compression_{name}"] = round(
         spec.bytes_fp16_baseline() / spec.bytes_compressed(), 2)
     RESULT[f"tok_s_{name}"] = round(1.0 / (dt * LAYERS), 1)
-    if RESULT.get("us_per_step_bf16"):
+    _roofline_keys(name, spec, dt, heads)
+    base_key = f"us_per_step_bf16{_suffix(heads)}"
+    if RESULT.get(base_key):
         RESULT[f"vs_baseline_{name}"] = round(
-            RESULT["us_per_step_bf16"] / RESULT[f"us_per_step_{name}"], 3)
+            RESULT[base_key] / RESULT[f"us_per_step_{name}"], 3)
+    _update_headline()
 
 
-def stage_headline():
-    Ctx.init()
-    spec = make_spec(bits=2, rank=2, prefill_rank=2, base_bits=8,
-                     v_group_size=128)
-    attention_config("int2_gearl", spec)
-    RESULT["value"] = RESULT["tok_s_int2_gearl"]
+def _update_headline():
+    """value/vs_baseline from the best rung available (H=32 preferred)."""
+    for suf in ("", f"_h{H8}"):
+        ts = RESULT.get(f"tok_s_int2_gearl{suf}")
+        vb = RESULT.get(f"vs_baseline_int2_gearl{suf}")
+        if ts:
+            RESULT["value"] = ts
+            if vb:
+                RESULT["vs_baseline"] = vb
+            RESULT["headline_rung"] = f"int2_gearl{suf}"
+            return
 
 
-def stage_bf16():
-    from gear_tpu import cache as C
+def stage_bf16(heads):
     from gear_tpu.models import llama as L
     import jax.numpy as jnp
 
-    spec = make_spec(bits=4, rank=4, prefill_rank=4)
-    rc = L.raw_prefill(spec, Ctx.k.astype(jnp.bfloat16),
-                       Ctx.v.astype(jnp.bfloat16))
+    k, v, q = Ctx.at_heads(heads)
+    spec = make_spec(heads=heads, bits=4, rank=4, prefill_rank=4)
+    heartbeat("prefill")
+    rc = L.raw_prefill(spec, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
     np.asarray(rc.k[0, 0, 0, :1])
-    dt = bench_loop(lambda c, x: L.raw_attend(spec, c, x), rc, Ctx.q, N)
-    RESULT["us_per_step_bf16"] = round(dt * 1e6, 1)
-    # backfill vs_baseline for stages that already ran
-    for name in ("int2_gearl", "int2_gear", "int2_gearl_kcvt", "int4_gearl"):
-        key = f"us_per_step_{name}"
+    heartbeat("compile")
+    dt = bench_loop(lambda c, x: L.raw_attend(spec, c, x), rc, q, N,
+                    on_compiled=lambda: heartbeat("timing"))
+    name = f"bf16{_suffix(heads)}"
+    RESULT[f"us_per_step_{name}"] = round(dt * 1e6, 1)
+    _roofline_keys(name, spec, dt, heads, compressed=False)
+    # backfill vs_baseline for same-rung stages that already ran
+    for cfg in ("int2_gearl", "int2_gear", "int2_gearl_kcvt", "int4_gearl"):
+        key = f"us_per_step_{cfg}{_suffix(heads)}"
         if key in RESULT:
-            RESULT[f"vs_baseline_{name}"] = round(
-                RESULT["us_per_step_bf16"] / RESULT[key], 3)
-    if "vs_baseline_int2_gearl" in RESULT:
-        RESULT["vs_baseline"] = RESULT["vs_baseline_int2_gearl"]
+            RESULT[f"vs_baseline_{cfg}{_suffix(heads)}"] = round(
+                RESULT[f"us_per_step_{name}"] / RESULT[key], 3)
+    _update_headline()
 
 
-def stage_gear_outliers():
-    spec = make_spec(bits=2, rank=2, prefill_rank=4, base_bits=8,
-                     outliers_per_block=164, v_group_size=128)
-    attention_config("int2_gear", spec)
+def stage_headline(heads):
+    spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=2,
+                     base_bits=8, v_group_size=128)
+    attention_config(f"int2_gearl{_suffix(heads)}", spec, heads)
 
 
-def stage_kcvt():
-    spec = make_spec(bits=2, rank=2, prefill_rank=2, base_bits=8,
-                     v_group_size=128, kcvt_prefill=True)
-    attention_config("int2_gearl_kcvt", spec)
+def stage_gear_outliers(heads):
+    spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=4,
+                     base_bits=8, outliers_per_block=164, v_group_size=128)
+    attention_config(f"int2_gear{_suffix(heads)}", spec, heads)
 
 
-def stage_int4():
-    spec = make_spec(bits=4, rank=4, prefill_rank=4)
-    attention_config("int4_gearl", spec)
+def stage_kcvt(heads):
+    spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=2,
+                     base_bits=8, v_group_size=128, kcvt_prefill=True)
+    attention_config(f"int2_gearl_kcvt{_suffix(heads)}", spec, heads)
+
+
+def stage_int4(heads):
+    spec = make_spec(heads=heads, bits=4, rank=4, prefill_rank=4)
+    attention_config(f"int4_gearl{_suffix(heads)}", spec, heads)
+
+
+def stage_paged(heads):
+    """Paged-pool kernel at the headline config/shapes vs the dense kernel
+    (VERDICT r4 task 5: the paged path had zero hardware numbers)."""
+    from gear_tpu import paged as PG
+    from gear_tpu.kernels import decode as K
+
+    k, v, q = Ctx.at_heads(heads)
+    spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=2,
+                     base_bits=8, v_group_size=128)
+    pb = min(16, spec.n_blocks)
+    pspec = PG.PagedSpec(spec=spec, n_pages=spec.n_blocks // pb,
+                         page_blocks=pb)
+    heartbeat("prefill")
+    pool = PG.init_pool(pspec)
+    seqs = PG.init_seqs(pspec, batch=1)
+    al = PG.PageAllocator(pspec.n_pages)
+    ids = [al.alloc() for _ in range(pspec.max_pages_per_seq)]
+    pool, seqs = PG.prefill_paged(pspec, pool, seqs, 0, ids, k, v)
+    np.asarray(seqs.comp_len)
+    heartbeat("compile")
+    dt = bench_loop(
+        lambda st, x: K.attend_paged(pspec, st[0], st[1], x,
+                                     interpret=INTERPRET),
+        (pool, seqs), q, N, on_compiled=lambda: heartbeat("timing"))
+    name = f"paged_int2_gearl{_suffix(heads)}"
+    RESULT[f"us_per_step_{name}"] = round(dt * 1e6, 1)
+    _roofline_keys(name, spec, dt, heads)
+    dense = RESULT.get(f"us_per_step_int2_gearl{_suffix(heads)}")
+    if dense:
+        RESULT["paged_vs_dense"] = round(dense / (dt * 1e6), 3)
 
 
 def stage_model():
-    """Real forward-pass decode: 16 layers, MLP + scan + logits included."""
+    """Real forward-pass decode: MLP + scan + logits included. B=1 @ 8k
+    ctx, then the reference speed protocol's batch-8 variant (1k-token
+    prefill, cuda_supported_gear/test.py:25-37)."""
     import jax
     import jax.numpy as jnp
     from gear_tpu import cache as C
     from gear_tpu.models import llama as L
 
-    rng = np.random.default_rng(1)
-    NL = int(os.environ.get("BENCH_MODEL_LAYERS", 16))
+    NL = int(os.environ.get("BENCH_MODEL_LAYERS", 8))
     MCTX = int(os.environ.get("BENCH_MODEL_CTX", 8192))
     cfg = L.ModelConfig(vocab_size=32000, hidden_size=2048,
                         intermediate_size=5632, num_layers=NL,
                         num_heads=16, num_kv_heads=16, head_dim=128,
-                        max_position_embeddings=MCTX)
-    PRE, MN = MCTX - 92, int(os.environ.get("BENCH_MODEL_STEPS", 40))
+                        max_position_embeddings=max(MCTX, 2048))
+    MN = int(os.environ.get("BENCH_MODEL_STEPS", 40))
     params = L.init_params(jax.random.PRNGKey(0), cfg)
-    spec = C.CacheSpec(batch=1, num_kv_heads=16, head_dim=128, max_len=MCTX,
-                       bits=2, group=64, rank=2, prefill_rank=2,
-                       lowrank_loop=3, base_bits=8,
-                       v_group_size=128, dtype=jnp.bfloat16,
-                       sideband_dtype=jnp.bfloat16)
-    kv_shape = (1, 16, PRE, 128)
-    kk, kv = jax.random.split(jax.random.PRNGKey(7))
-    k = jax.random.normal(kk, kv_shape, jnp.float32) * 0.3
-    v = jax.random.normal(kv, kv_shape, jnp.float32) * 0.3
 
-    def run(compress, attn_impl):
+    def run(compress, attn_impl, batch, mctx, label):
+        pre = mctx - 92
+        spec = C.CacheSpec(batch=batch, num_kv_heads=16, head_dim=128,
+                           max_len=mctx, bits=2, group=64, rank=2,
+                           prefill_rank=2, lowrank_loop=3, base_bits=8,
+                           v_group_size=128, dtype=jnp.bfloat16,
+                           sideband_dtype=jnp.bfloat16)
+        kv_shape = (batch, 16, pre, 128)
+        kk, kv = jax.random.split(jax.random.PRNGKey(7))
+        k = jax.random.normal(kk, kv_shape, jnp.float32) * 0.3
+        v = jax.random.normal(kv, kv_shape, jnp.float32) * 0.3
+        heartbeat(f"{label}:prefill")
         if compress:
             one = C.prefill(spec, k, v)
         else:
@@ -310,18 +423,20 @@ def stage_model():
             def body(carry, i):
                 tok, caches = carry
                 logits, caches = L.forward_decode(
-                    params, cfg, tok, jnp.full((1,), PRE, jnp.int32) + i,
+                    params, cfg, tok, jnp.full((batch,), pre, jnp.int32) + i,
                     caches, spec=spec, compress=compress,
                     attn_impl=attn_impl)
                 return (jnp.argmax(logits, -1).astype(jnp.int32), caches), 0
             (tok, caches), _ = jax.lax.scan(
                 body, (tok0, caches), jnp.arange(MN, dtype=jnp.int32))
             return tok
-        tok0 = jnp.zeros((1,), jnp.int32)
+        tok0 = jnp.zeros((batch,), jnp.int32)
+        heartbeat(f"{label}:compile")
         np.asarray(steps(params, caches, tok0))  # compile + warm
+        heartbeat(f"{label}:timing")
         best = None
         for trial in range(2):
-            t1 = jnp.full((1,), trial + 3, jnp.int32)
+            t1 = jnp.full((batch,), trial + 3, jnp.int32)
             np.asarray(t1)
             t0 = time.time()
             np.asarray(steps(params, caches, t1))
@@ -329,74 +444,153 @@ def stage_model():
             best = dt if best is None else min(best, dt)
         return best
 
-    dt_fused = run(True, "pallas_interpret" if INTERPRET else "pallas@4")
+    fused_impl = "pallas_interpret" if INTERPRET else "pallas@4"
+    dt_fused = run(True, fused_impl, 1, MCTX, "b1")
     RESULT["model_tok_s_fused"] = round(1.0 / dt_fused, 1)
-    RESULT["model_config"] = "16L x 2048h, 8k ctx, INT2 GEARL, B=1"
+    RESULT["model_config"] = f"{NL}L x 2048h, {MCTX} ctx, INT2 GEARL, B=1"
     emit()
-    dt_raw = run(False, "xla")
+    dt_raw = run(False, "xla", 1, MCTX, "b1_bf16")
     RESULT["model_tok_s_bf16"] = round(1.0 / dt_raw, 1)
     RESULT["model_vs_baseline"] = round(dt_raw / dt_fused, 3)
 
 
-def subprocess_health_loop(total_budget=390, probe_s=80, gap_s=75):
-    """Probe device health in CLEAN SUBPROCESSES, retrying across the budget.
+def stage_model_b8():
+    """Reference protocol mirror: batch 8, ~1k prefill (test.py:25-37)."""
+    import jax
+    import jax.numpy as jnp
+    from gear_tpu import cache as C
+    from gear_tpu.models import llama as L
 
-    The tunnel's wedge OSCILLATES (short healthy windows between long
-    wedges, observed round 4) and a hung in-process probe poisons this
-    process (the C call never returns; only os._exit escapes) — so each
-    probe is a child process killed on timeout, and one bench invocation
-    gets several shots at catching a healthy window. Returns True on the
-    first healthy probe."""
-    import subprocess
-    t_end = time.time() + min(total_budget, remaining() - 120)
-    attempt = 0
-    while time.time() < t_end:
-        attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import numpy as np, jax.numpy as jnp;"
-                 "import time;"
-                 "x = jnp.full((128,128), 1.0 + (time.time() % 7));"
-                 "print(float(np.asarray(x @ x).sum()))"],
-                timeout=probe_s, capture_output=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            if r.returncode == 0:
-                RESULT["health_attempts"] = attempt
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        RESULT["health_attempts"] = attempt
-        if time.time() + gap_s + probe_s < t_end:
-            time.sleep(gap_s)
+    NL = int(os.environ.get("BENCH_MODEL_LAYERS", 8))
+    B8CTX = int(os.environ.get("BENCH_MODEL_B8_CTX", 1536))
+    cfg = L.ModelConfig(vocab_size=32000, hidden_size=2048,
+                        intermediate_size=5632, num_layers=NL,
+                        num_heads=16, num_kv_heads=16, head_dim=128,
+                        max_position_embeddings=max(B8CTX, 2048))
+    MN = int(os.environ.get("BENCH_MODEL_STEPS", 40))
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    pre = B8CTX - 92
+
+    def run(compress, attn_impl, label):
+        spec = C.CacheSpec(batch=8, num_kv_heads=16, head_dim=128,
+                           max_len=B8CTX, bits=2, group=64, rank=2,
+                           prefill_rank=2, lowrank_loop=3, base_bits=8,
+                           v_group_size=128, dtype=jnp.bfloat16,
+                           sideband_dtype=jnp.bfloat16)
+        kv_shape = (8, 16, pre, 128)
+        kk, kv = jax.random.split(jax.random.PRNGKey(9))
+        k = jax.random.normal(kk, kv_shape, jnp.float32) * 0.3
+        v = jax.random.normal(kv, kv_shape, jnp.float32) * 0.3
+        heartbeat(f"{label}:prefill")
+        if compress:
+            one = C.prefill(spec, k, v)
         else:
-            break
-    return False
+            one = L.raw_prefill(spec, k.astype(jnp.bfloat16),
+                                v.astype(jnp.bfloat16))
+        caches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None],
+                                       (cfg.num_layers,) + x.shape), one)
+
+        @jax.jit
+        def steps(params, caches, tok0):
+            def body(carry, i):
+                tok, caches = carry
+                logits, caches = L.forward_decode(
+                    params, cfg, tok, jnp.full((8,), pre, jnp.int32) + i,
+                    caches, spec=spec, compress=compress,
+                    attn_impl=attn_impl)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), caches), 0
+            (tok, caches), _ = jax.lax.scan(
+                body, (tok0, caches), jnp.arange(MN, dtype=jnp.int32))
+            return tok
+        tok0 = jnp.zeros((8,), jnp.int32)
+        heartbeat(f"{label}:compile")
+        np.asarray(steps(params, caches, tok0))
+        heartbeat(f"{label}:timing")
+        best = None
+        for trial in range(2):
+            t1 = jnp.full((8,), trial + 3, jnp.int32)
+            np.asarray(t1)
+            t0 = time.time()
+            np.asarray(steps(params, caches, t1))
+            dt = (time.time() - t0) / MN
+            best = dt if best is None else min(best, dt)
+        return best
+
+    fused_impl = "pallas_interpret" if INTERPRET else "pallas@4"
+    dt_fused = run(True, fused_impl, "b8")
+    # sequences/s across the batch (the reference reports batch wall-clock)
+    RESULT["model_b8_tok_s_fused"] = round(8.0 / dt_fused, 1)
+    RESULT["model_b8_config"] = f"{NL}L x 2048h, B=8, {pre} prefill"
+    emit()
+    dt_raw = run(False, "xla", "b8_bf16")
+    RESULT["model_b8_tok_s_bf16"] = round(8.0 / dt_raw, 1)
+    RESULT["model_b8_vs_baseline"] = round(dt_raw / dt_fused, 3)
+
+
+def graceful_probe_child(timeout_s):
+    """One health probe in a child that exits GRACEFULLY on its own alarm
+    (an externally SIGKILLed TPU client can re-wedge the device — ADVICE
+    r4). The parent timeout is a backstop 10s later."""
+    import subprocess
+    code = (
+        "import os, signal, time\n"
+        f"signal.signal(signal.SIGALRM, lambda *a: os._exit(3))\n"
+        f"signal.alarm({timeout_s})\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "x = jnp.full((128,128), 1.0 + (time.time() % 7))\n"
+        "print(float(np.asarray(x @ x).sum()))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s + 10, capture_output=True,
+                           cwd=REPO)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def health_gate():
+    """Two graceful probes, ~200s apart (wedges oscillate; a probe storm
+    prolongs them). Returns True on the first healthy probe."""
+    _STAGE.update(name="health", budget=0)
+    t0 = time.time()
+    if graceful_probe_child(90):
+        RESULT["health_attempts"] = 1
+        RESULT["s_health"] = round(time.time() - t0, 1)
+        return True
+    wake = T0 + 280
+    if wake - time.time() > 0 and remaining() > 200:
+        time.sleep(wake - time.time())
+    ok = graceful_probe_child(90)
+    RESULT["health_attempts"] = 2
+    RESULT["s_health"] = round(time.time() - t0, 1)
+    return ok
 
 
 def main():
-    # Health gate: label a start-of-run wedge distinctly so the record says
-    # "never healthy" rather than "hung mid-benchmark".
     if os.environ.get("BENCH_CPU"):
         ok = run_stage("health", 120, health_probe)
     else:
-        _STAGE.update(name="health", budget=0)
-        ok = subprocess_health_loop()
+        ok = health_gate()
+        emit()
     if not ok:
         RESULT["error"] = "device unhealthy at start (all probes hung)"
         emit_and_exit()
-    _STAGE["retry_left"] = 0
-    # Headline gets the big budget: after a tunnel-terminal restart the
-    # server compile cache is COLD and the prefill pack kernel + decode
-    # kernel Mosaic compiles alone take 2-6 min (observed round 4: a 240s
-    # budget starved the stage right after a recovery). bf16 compiles are
-    # cheap; later stages reuse the warmed kernels at different configs.
-    run_stage("int2_gearl", 300, stage_headline)
-    run_stage("bf16", 90, stage_bf16)
-    run_stage("int2_gear", 170, stage_gear_outliers)
-    run_stage("int2_gearl_kcvt", 70, stage_kcvt)
-    run_stage("int4_gearl", 70, stage_int4)
-    run_stage("model", remaining() - 10, stage_model)
+    # Cheap-first stage order: a complete H=8 ratio lands within ~2 min
+    # warm / ~6 min cold; H=32 and the model stages upgrade the record
+    # with whatever budget remains. run_stage clamps to remaining().
+    run_stage(f"bf16{_suffix(H8)}", 70, lambda: stage_bf16(H8))
+    run_stage(f"int2_gearl{_suffix(H8)}", 230, lambda: stage_headline(H8))
+    if H8 != HEADS:
+        run_stage("bf16", 60, lambda: stage_bf16(HEADS))
+        run_stage("int2_gearl", 140, lambda: stage_headline(HEADS))
+    run_stage("model", 130, stage_model)
+    run_stage("model_b8", 80, stage_model_b8)
+    run_stage("int2_gear", 130, lambda: stage_gear_outliers(HEADS))
+    run_stage("int2_gearl_kcvt", 60, lambda: stage_kcvt(HEADS))
+    run_stage("int4_gearl", 60, lambda: stage_int4(HEADS))
+    run_stage("paged", 70, lambda: stage_paged(HEADS))
     emit()
 
 

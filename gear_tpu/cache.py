@@ -384,6 +384,15 @@ def _sort_outliers(spec: CacheSpec, o_idx: jax.Array, o_val: jax.Array,
         bnd = jnp.zeros(o_idx.shape[:-1] + (0,), jnp.int32)
         return _pack_oidx(o_idx), o_val, bnd
     d = spec.head_dim
+    # The table has exactly 128 lanes, so every key must fit in [0, 128):
+    # K keys are in-block token indices (group) and V keys are channel
+    # indices (head_dim). The kernel's gate (k_tile_ok / v_bnd_ok) requires
+    # the same, but a silent truncation here would outlive a kernel change.
+    key_range = spec.group if key_mode == "token" else spec.head_dim
+    assert key_range <= 128, (
+        f"sorted-outlier boundary table needs {key_mode} key range "
+        f"{key_range} <= 128 lanes; use group/head_dim <= 128 or disable "
+        "outliers")
     key = o_idx // d if key_mode == "token" else o_idx % d
     # variadic lax.sort (co-sort, stable) instead of argsort +
     # take_along_axis: the gather form inside append's flush lax.cond

@@ -179,9 +179,18 @@ def _decode_kernel(
     else:
         kpts_ref = kqts_ref = vqts_ref = vpts_ref = None
     if ko:
-        (koi_ref, kov_ref, voi_ref, vov_ref,
-         kob_ref, vob_ref) = args[pos:pos + 6]
-        pos += 6
+        (koi_ref, kov_ref, voi_ref, vov_ref) = args[pos:pos + 4]
+        pos += 4
+        # The K boundary table feeds only the opt-in "kseg" tile form
+        # (measured slower than the one-hot scatter at hb>=4, STATUS r4) —
+        # the canonical path skips its per-head [NB, 128] int32 DMA.
+        if "kseg" in ablate:
+            kob_ref = args[pos]
+            pos += 1
+        else:
+            kob_ref = None
+        vob_ref = args[pos]
+        pos += 1
     else:
         koi_ref = kov_ref = voi_ref = vov_ref = None
         kob_ref = vob_ref = None
@@ -786,15 +795,18 @@ def _decode_attention_call(
     if ko:
         # full [NB, KO(/2)] tiles per head; constant across j so Pallas only
         # DMAs them once per head — the kernel sublane-slices its chunk.
-        # Boundary tables ride along the same way ([NB, 128] int32).
+        # Boundary tables ride along the same way ([NB, 128] int32); the K
+        # table only when the opt-in "kseg" tile form will read it.
         in_specs += [
             pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((hb, nb, ko // 2), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((hb, nb, ko), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((hb, nb, 128), lambda i, j, *_: (i, 0, 0)),
-            pl.BlockSpec((hb, nb, 128), lambda i, j, *_: (i, 0, 0)),
         ]
+        if "kseg" in ablate:
+            in_specs += [pl.BlockSpec((hb, nb, 128),
+                                      lambda i, j, *_: (i, 0, 0))]
+        in_specs += [pl.BlockSpec((hb, nb, 128), lambda i, j, *_: (i, 0, 0))]
 
     out = pl.pallas_call(
         kernel,
@@ -937,8 +949,10 @@ def decode_attention(
     if base8:
         inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
     if k_out_idx is not None:
-        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val,
-                   k_out_bnd, v_out_bnd]
+        inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val]
+        if "kseg" in ablate:
+            inputs += [k_out_bnd]
+        inputs += [v_out_bnd]
 
     statics = (bits, group, v_group, blocks_per_chunk, base8, use_lr,
                dual_region, kcvt, heads_per_step, k_out_idx is not None,
@@ -1165,16 +1179,17 @@ def decode_attention_paged(
         in_specs += [pl.BlockSpec((1, 1, r, cb), tok) for _ in range(4)]
         inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
     if ko:
+        # no K boundary table: the paged kernel never takes the opt-in
+        # "kseg" tile form (default ablate), so its DMA would be dead.
         in_specs += [
             pl.BlockSpec((1, 1, cb, ko // 2), tok),
             pl.BlockSpec((1, 1, cb, ko), tok),
             pl.BlockSpec((1, 1, cb, ko // 2), tok),
             pl.BlockSpec((1, 1, cb, ko), tok),
             pl.BlockSpec((1, 1, cb, 128), tok),
-            pl.BlockSpec((1, 1, cb, 128), tok),
         ]
         inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val,
-                   k_out_bnd, v_out_bnd]
+                   v_out_bnd]
 
     out = pl.pallas_call(
         kernel,
@@ -1256,9 +1271,11 @@ def attend_paged(
         scale_args = (None, None, None, None)
 
     if spec.outliers_per_block:
+        # k_out_bnd stays None: only the dense kernel's opt-in "kseg" tile
+        # form reads it (ADVICE r4 — dead DMA otherwise).
         outlier_args = (pool.k_out_idx, pool.k_out_val,
                         pool.v_out_idx, pool.v_out_val,
-                        pool.k_out_bnd, pool.v_out_bnd)
+                        None, pool.v_out_bnd)
     else:
         outlier_args = (None, None, None, None, None, None)
 

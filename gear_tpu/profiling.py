@@ -100,6 +100,18 @@ def decode_attention_roofline(spec, batch: int, q_heads: int,
     return Roofline(bytes_accessed, int(flops), chip)
 
 
+def raw_decode_attention_roofline(spec, batch: int, q_heads: int,
+                                  chip: ChipSpec = TPU_V5E) -> Roofline:
+    """Roofline for one uncompressed bf16 decode-attention step (the
+    baseline the north-star ratio is taken against): bytes = full bf16
+    K+V read once + q/out; FLOPs = QK^T + PV."""
+    t, d = spec.max_len, spec.head_dim
+    b = batch
+    bytes_accessed = spec.bytes_fp16_baseline() + 2 * b * q_heads * d * 4
+    flops = 2 * b * q_heads * t * d * 2
+    return Roofline(bytes_accessed, int(flops), chip)
+
+
 def report(label: str, measured_s: float, roof: Roofline) -> str:
     eff = roof.efficiency(measured_s)
     return (f"{label}: {measured_s*1e6:.1f} us "

@@ -20,11 +20,20 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Two scales: "tiny" (round-3/4 artifact) and "mid" (VERDICT r4 task 7 —
+# a second scale point to show the INT2 accuracy gap shrinking with model
+# capacity, as runs/tiny_arith/ROOTCAUSE.md section 3 predicts). The mid
+# model is the largest trainable in-sandbox (single v5e chip, minutes).
+SCALES = {
+    "tiny": dict(vocab_size=96, hidden_size=256, intermediate_size=512,
+                 num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32,
+                 max_position_embeddings=1024),
+    "mid": dict(vocab_size=96, hidden_size=768, intermediate_size=2048,
+                num_layers=8, num_heads=12, num_kv_heads=6, head_dim=64,
+                max_position_embeddings=1024),
+}
 RUN_DIR = Path(__file__).resolve().parents[1] / "runs" / "tiny_arith"
-
-MODEL_KW = dict(vocab_size=96, hidden_size=256, intermediate_size=512,
-                num_layers=4, num_heads=8, num_kv_heads=4, head_dim=32,
-                max_position_embeddings=1024)
+MODEL_KW = SCALES["tiny"]
 
 
 def _jax_cpu():
@@ -154,7 +163,12 @@ if __name__ == "__main__":
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--sweep", action="store_true",
                     help="extra INT2 root-cause configs")
+    ap.add_argument("--scale", choices=sorted(SCALES), default="tiny")
     args = ap.parse_args()
+    if args.scale != "tiny":
+        MODEL_KW = SCALES[args.scale]
+        RUN_DIR = Path(__file__).resolve().parents[1] / "runs" / (
+            args.scale + "_arith")
     if args.cmd in ("train", "all"):
         do_train(args)
     if args.cmd in ("eval", "all"):

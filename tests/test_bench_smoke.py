@@ -21,7 +21,8 @@ def test_bench_smoke_produces_record():
     env = dict(os.environ)
     env.update(BENCH_CPU="1", BENCH_CTX="512", BENCH_HEADS="4", BENCH_N="3",
                BENCH_MODEL_LAYERS="2", BENCH_MODEL_CTX="512",
-               BENCH_MODEL_STEPS="4", PYTHONPATH=REPO)
+               BENCH_MODEL_B8_CTX="512", BENCH_MODEL_STEPS="4",
+               PYTHONPATH=REPO)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
@@ -37,6 +38,13 @@ def test_bench_smoke_produces_record():
     assert "us_per_step_int2_gear" in rec, rec  # outlier config
     assert "model_tok_s_fused" in rec and rec["model_tok_s_fused"] > 0, rec
     assert "model_tok_s_bf16" in rec, rec
+    # r5 additions: batch-8 protocol mirror, roofline keys, paged kernel
+    assert "model_b8_vs_baseline" in rec, rec
+    # pct_sol can round to 0.0 in CPU interpret mode — presence is the pin
+    assert "pct_sol_int2_gearl" in rec, rec
+    assert rec.get("gbps_bf16", 0) > 0, rec
+    assert "us_per_step_paged_int2_gearl" in rec, rec
+    assert rec.get("paged_vs_dense", 0) > 0, rec
     assert "error" not in rec, rec
     # every stage must have emitted an intermediate record too
     first = json.loads(lines[0])
