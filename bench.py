@@ -369,6 +369,7 @@ def stage_paged(heads):
     heartbeat("compile")
     dt = bench_loop(
         lambda st, x: K.attend_paged(pspec, st[0], st[1], x,
+                                     heads_per_step=HB,
                                      interpret=INTERPRET),
         (pool, seqs), q, N, on_compiled=lambda: heartbeat("timing"))
     name = f"paged_int2_gearl{_suffix(heads)}"

@@ -60,6 +60,16 @@ class InferenceEngine:
         lcomp = self.comp.layer(0)
         if engine_cfg.max_len % lcomp.group_size:
             raise ValueError("max_len must be a multiple of group_size")
+        win = model_cfg.sliding_window
+        if win is not None and win < lcomp.group_size:
+            # attend/attend_fused would raise the same constraint only at
+            # call time, mid-generation (decode.py window handling): the
+            # residual tier (up to group_size most-recent tokens) must fit
+            # entirely inside the attention window.
+            raise ValueError(
+                f"sliding_window {win} < group_size {lcomp.group_size}: "
+                "the compressed cache masks the window over the packed "
+                "prefix only; use group_size <= sliding_window")
         self.spec = model_cfg.cache_spec(batch_size, engine_cfg.max_len, lcomp)
         if engine_cfg.mode == "h2o":
             from . import h2o

@@ -230,7 +230,12 @@ def _decode_kernel(
 
         def sl(ref, nd):
             lead = len(ref.shape) - nd
-            return ref[(h,) + (0,) * (lead - 1)] if lead else ref[...]
+            if lead == 0:
+                return ref[...]
+            if ref.shape[0] == 1 and lead >= 2:
+                # paged pool block: [1(page), HB, ...] — head is axis 1
+                return ref[(0, h) + (0,) * (lead - 2)]
+            return ref[(h,) + (0,) * (lead - 1)]
 
         def _ochunk(oref, vref):
             """Outlier idx/val tiles for THIS chunk: [CB, KO] each.
@@ -1081,7 +1086,8 @@ def attend_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group", "v_group", "page_blocks", "hkv",
-                     "base8", "use_lr", "interpret"),
+                     "base8", "use_lr", "kcvt", "heads_per_step",
+                     "interpret"),
 )
 def decode_attention_paged(
     lens: jax.Array,         # int32 [B, 3] per-seq (comp, resid, prefill)
@@ -1118,6 +1124,8 @@ def decode_attention_paged(
     hkv: int,
     base8: bool = False,
     use_lr: bool = True,
+    kcvt: bool = False,
+    heads_per_step: int = 1,
     interpret: bool = False,
 ):
     """Fused flash-decode directly over the physical page pool.
@@ -1126,9 +1134,12 @@ def decode_attention_paged(
     drives the DMA source page, so no gather/copy of pages ever happens.
     Unallocated table tail entries must be clamped to a valid page id (the
     kernel masks them off via comp_len). COO outlier deltas ride along as
-    per-page tiles when given. Pages interleave prefill- and decode-written
-    blocks arbitrarily, so the paged kernel always takes the per-block
-    low-rank path (dual_region=False).
+    per-page tiles when given. The dense kernel's dual-region dispatch works
+    unchanged here: grid j is the LOGICAL page index, so the
+    `(j+1)*page_tokens <= prefill_len` gate selects the fast shared-P path
+    exactly for all-prefill pages (prefill_paged scatters the dense prefill
+    — replicated P, uniform per-rank qt scales — page by page), and pages
+    touching decode-flushed blocks take the per-block path.
     """
     bh, gq, d = q.shape
     maxp = block_table.shape[1]
@@ -1138,6 +1149,11 @@ def decode_attention_paged(
     wd = d // (32 // bits)
     ngv = d // v_group
     ko = 0 if k_out_idx is None else 2 * k_out_idx.shape[3]
+    # heads batched per grid step must stay within one sequence's kv heads
+    # (every batched row reads the same block-table row).
+    hb = max(1, min(heads_per_step, hkv))
+    while hkv % hb:
+        hb -= 1
 
     lens_bh = jnp.repeat(lens.astype(jnp.int32), hkv, axis=0)  # [BH, 3]
 
@@ -1146,47 +1162,49 @@ def decode_attention_paged(
         _decode_kernel(lens_ref, pad_ref, *args,
                        bits=bits, group=group, v_group=v_group,
                        blocks_per_chunk=cb, ko=ko, base8=base8,
-                       use_lr=use_lr, dual_region=False,
-                       interpret=interpret)
+                       use_lr=use_lr, dual_region=True, kcvt=kcvt,
+                       hb=hb, interpret=interpret)
+
+    hpb = hkv // hb  # head-blocks per sequence
 
     def tok(i, j, lens_, pad_, bt_):
-        return (bt_[i // hkv, j], i % hkv, 0, 0)
+        return (bt_[i // hpb, j], i % hpb, 0, 0)
 
     def blk(i, j, lens_, pad_, bt_):
-        return (bt_[i // hkv, j], i % hkv, 0, 0, 0)
+        return (bt_[i // hpb, j], i % hpb, 0, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
-        pl.BlockSpec((1, 1, cb, r, d), blk),
-        pl.BlockSpec((1, 1, wd, chunk), tok),
-        pl.BlockSpec((1, 1, cb, d), tok),
-        pl.BlockSpec((1, 1, cb, d), tok),
-        pl.BlockSpec((1, 1, r, chunk), tok),
-        pl.BlockSpec((1, 1, wd, chunk), tok),
-        pl.BlockSpec((1, 1, ngv, chunk), tok),
-        pl.BlockSpec((1, 1, ngv, chunk), tok),
-        pl.BlockSpec((1, 1, r, chunk), tok),
-        pl.BlockSpec((1, 1, cb, r, d), blk),
-        pl.BlockSpec((1, 1, group, d),
-                     lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
-        pl.BlockSpec((1, 1, group, d),
-                     lambda i, j, *_: (i // hkv, i % hkv, 0, 0)),
+        pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
+        pl.BlockSpec((1, hb, cb, r, d), blk),
+        pl.BlockSpec((1, hb, wd, chunk), tok),
+        pl.BlockSpec((1, hb, cb, d), tok),
+        pl.BlockSpec((1, hb, cb, d), tok),
+        pl.BlockSpec((1, hb, r, chunk), tok),
+        pl.BlockSpec((1, hb, wd, chunk), tok),
+        pl.BlockSpec((1, hb, ngv, chunk), tok),
+        pl.BlockSpec((1, hb, ngv, chunk), tok),
+        pl.BlockSpec((1, hb, r, chunk), tok),
+        pl.BlockSpec((1, hb, cb, r, d), blk),
+        pl.BlockSpec((1, hb, group, d),
+                     lambda i, j, *_: (i // hpb, i % hpb, 0, 0)),
+        pl.BlockSpec((1, hb, group, d),
+                     lambda i, j, *_: (i // hpb, i % hpb, 0, 0)),
     ]
     inputs = [lens_bh, pad_start, block_table,
               q, kpt, k_codes, k_scale, k_mn, kqt, v_codes, v_scale, v_mn,
               vqt, vpt, k_resid, v_resid]
     if base8:
-        in_specs += [pl.BlockSpec((1, 1, r, cb), tok) for _ in range(4)]
+        in_specs += [pl.BlockSpec((1, hb, r, cb), tok) for _ in range(4)]
         inputs += [kpt_scale, kqt_scale, vqt_scale, vpt_scale]
     if ko:
         # no K boundary table: the paged kernel never takes the opt-in
         # "kseg" tile form (default ablate), so its DMA would be dead.
         in_specs += [
-            pl.BlockSpec((1, 1, cb, ko // 2), tok),
-            pl.BlockSpec((1, 1, cb, ko), tok),
-            pl.BlockSpec((1, 1, cb, ko // 2), tok),
-            pl.BlockSpec((1, 1, cb, ko), tok),
-            pl.BlockSpec((1, 1, cb, 128), tok),
+            pl.BlockSpec((1, hb, cb, ko // 2), tok),
+            pl.BlockSpec((1, hb, cb, ko), tok),
+            pl.BlockSpec((1, hb, cb, ko // 2), tok),
+            pl.BlockSpec((1, hb, cb, ko), tok),
+            pl.BlockSpec((1, hb, cb, 128), tok),
         ]
         inputs += [k_out_idx, k_out_val, v_out_idx, v_out_val,
                    v_out_bnd]
@@ -1195,15 +1213,15 @@ def decode_attention_paged(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(bh, maxp),
+            grid=(bh // hb, maxp),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, gq, d), lambda i, j, *_: (i, 0, 0)),
+                pl.BlockSpec((hb, gq, d), lambda i, j, *_: (i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((gq, d), jnp.float32),
-                pltpu.VMEM((gq, 128), jnp.float32),
-                pltpu.VMEM((gq, 128), jnp.float32),
+                pltpu.VMEM((hb * gq, d), jnp.float32),
+                pltpu.VMEM((hb * gq, 128), jnp.float32),
+                pltpu.VMEM((hb * gq, 128), jnp.float32),
             ],
         ),
         out_shape=[
@@ -1223,6 +1241,7 @@ def attend_paged(
     sm_scale: float | None = None,
     pad_start: jax.Array | None = None,
     window: int | None = None,
+    heads_per_step: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode attention for a batch of paged sequences (gear_tpu.paged).
@@ -1293,6 +1312,8 @@ def attend_paged(
         *outlier_args,
         bits=spec.bits, group=spec.group, v_group=spec.v_group,
         page_blocks=pspec.page_blocks, hkv=hkv, base8=base8, use_lr=use_lr,
+        kcvt=getattr(spec, "kcvt_prefill", False),
+        heads_per_step=heads_per_step,
         interpret=interpret,
     )
     out = out.reshape(b, hkv, gq_pad, d)[:, :, :gq_n]

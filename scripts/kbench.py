@@ -133,6 +133,7 @@ def main():
             spec_s = name[5 if is_l else 4:] or "16"
             spec_s, hb = (spec_s.split("@", 1) + ["1"])[:2]
             gbits, abl, kcvt = 2, [], False
+            n_out = 0 if is_l else 164
             if ":" in spec_s:
                 spec_s, mod_s = spec_s.split(":", 1)
                 for tokn in mod_s.split("+"):
@@ -140,6 +141,8 @@ def main():
                         gbits = int(tokn)
                     elif tokn == "c":
                         kcvt = True  # kcvt_prefill (whole-span K scales)
+                    elif tokn.startswith("o") and tokn[1:].isdigit():
+                        n_out = int(tokn[1:])  # outliers_per_block override
                     elif tokn:
                         abl.append(tokn)
             cbg = int(spec_s or "16")
@@ -148,7 +151,7 @@ def main():
                 bits=gbits, group=64, rank=2,
                 prefill_rank=2 if is_l else 4,
                 lowrank_loop=3, base_bits=8,
-                outliers_per_block=0 if is_l else 164,
+                outliers_per_block=n_out,
                 v_group_size=D, kcvt_prefill=kcvt, dtype=jnp.bfloat16,
                 sideband_dtype=jnp.bfloat16)
             gcache = C.prefill(gspec, k, v)

@@ -131,9 +131,12 @@ def test_shared_prefix_pages(rng):
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
 
 
-def test_paged_kernel_matches_dense_attend(rng):
+@pytest.mark.parametrize("hb", [1, 2])
+def test_paged_kernel_matches_dense_attend(rng, hb):
     """The paged Pallas kernel vs XLA attend over the gathered dense view,
-    with PER-ROW lengths (continuous batching's case)."""
+    with PER-ROW lengths (continuous batching's case). hb=2 batches both
+    kv heads of a sequence per grid step (heads_per_step, as the dense
+    kernel does)."""
     from gear_tpu.kernels import decode as K
     pspec = mk(n_pages=8, page_blocks=2, max_len=512)
     spec = pspec.spec
@@ -153,7 +156,8 @@ def test_paged_kernel_matches_dense_attend(rng):
 
     q = jnp.asarray(rng.standard_normal(
         (2, 4, 1, spec.head_dim)).astype(np.float32))
-    got = K.attend_paged(pspec, pool, seqs, q, interpret=True)
+    got = K.attend_paged(pspec, pool, seqs, q, heads_per_step=hb,
+                         interpret=True)
 
     for row in range(2):
         dense = P.gather_dense(pspec, pool, seqs, row)
@@ -218,7 +222,8 @@ def test_paged_kernel_int8_bases_and_outliers(rng, kw):
 
     q = jnp.asarray(rng.standard_normal(
         (2, 4, 1, spec.head_dim)).astype(np.float32))
-    got = K.attend_paged(pspec, pool, seqs, q, interpret=True)
+    got = K.attend_paged(pspec, pool, seqs, q, heads_per_step=2,
+                         interpret=True)
 
     for row in range(2):
         dense = P.gather_dense(pspec, pool, seqs, row)

