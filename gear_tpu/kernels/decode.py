@@ -269,32 +269,35 @@ def _decode_kernel(
 
         def _cumsum_windows(wins, u_tri):
             """Per-128-window inclusive running sums of the outlier value
-            windows, chained by a carried total: sw_i[q, j] = sum of all
-            entries up to global lane 128*i + j. The cumsum is ONE MXU dot
-            with a constant lower-triangular matrix per window — same pass
-            count as the one-hot scatter dots it replaces, but no
-            data-dependent VPU one-hot builds."""
-            out, carry = [], None
-            for w in wins:
-                sw = _dot(w, u_tri, (((1,), (0,))))      # [GQ, 128] f32
-                if carry is not None:
-                    sw = sw + carry
-                out.append(sw)
-                carry = sw[:, 127:128]                    # [GQ, 1]
-            return out
+            windows. The cumsum is ONE MXU dot with a constant
+            lower-triangular matrix per window — same pass count as the
+            one-hot scatter dots it replaces, but no data-dependent VPU
+            one-hot builds. Window sums are LOCAL; the cross-window offsets
+            come back as [GQ, 1] prefix columns so the triangular dots have
+            no serial carry chain between them (the r4 chained form
+            serialized the MXU: STATUS r4 finding 3) — the gather side adds
+            its window's prefix scalar instead."""
+            sums = [_dot(w, u_tri, (((1,), (0,)))) for w in wins]
+            prefixes, run = [None], None
+            for sw in sums[:-1]:
+                tot = sw[:, 127:128]                      # [GQ, 1]
+                run = tot if run is None else run + tot
+                prefixes.append(run)
+            return sums, prefixes
 
         def _gather_bnd_diff(s_wins, e_row):
             """Segmented sums from running sums: gather each boundary's
             running total and difference against the previous boundary.
             ``e_row`` [1, 128] int32 with e[t] = (# entries with key <= t)
             - 1; returns [GQ, 128] per-key contributions."""
+            sums, prefixes = s_wins
             eb = jnp.broadcast_to(e_row, (gq, 128))
             gsel = jnp.take_along_axis(
-                s_wins[0], jnp.clip(eb, 0, 127), axis=1)
-            for i in range(1, len(s_wins)):
+                sums[0], jnp.clip(eb, 0, 127), axis=1)
+            for i in range(1, len(sums)):
                 gi = jnp.take_along_axis(
-                    s_wins[i], jnp.clip(eb - 128 * i, 0, 127), axis=1)
-                gsel = jnp.where(eb >= 128 * i, gi, gsel)
+                    sums[i], jnp.clip(eb - 128 * i, 0, 127), axis=1)
+                gsel = jnp.where(eb >= 128 * i, gi + prefixes[i], gsel)
             gsel = jnp.where(eb < 0, 0.0, gsel)
             if interpret:
                 prev = jnp.roll(gsel, 1, axis=1)
