@@ -44,6 +44,58 @@ def build(batch=1):
                            batch_size=batch)
 
 
+def _multihost_row():
+    """>=2-host scaling evidence (BASELINE.md scaling axis): a REAL
+    2-process jax.distributed run (2 x 4 virtual CPU devices, coordinator
+    over localhost DCN) whose cross-process (data, model)-sharded
+    prefill+decode step must match the single-process result. Reuses
+    tests/dist_worker.py (tests/test_distributed.py asserts the same)."""
+    import socket
+    import subprocess
+    import tempfile
+
+    repo = Path(__file__).resolve().parent.parent
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with tempfile.TemporaryDirectory() as td:
+        out_path = Path(td) / "out.json"
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update(JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                       JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                       PYTHONPATH=str(repo))
+            procs.append(subprocess.Popen(
+                [sys.executable, str(repo / "tests" / "dist_worker.py"),
+                 str(out_path)], env=env, cwd=str(repo),
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE))
+        ok = all(p.wait(timeout=300) == 0 for p in procs)
+        got = json.loads(out_path.read_text()) if ok else None
+
+    if ok:
+        import jax.numpy as jnp
+        from gear_tpu import cache as C
+        out = np.asarray(got["out"], np.float32).reshape(got["shape"])
+        spec = C.CacheSpec(batch=4, num_kv_heads=4, head_dim=128,
+                           max_len=256, bits=4, group=64, rank=2,
+                           prefill_rank=2, lowrank_loop=2,
+                           dtype=jnp.float32, sideband_dtype=jnp.float32)
+        rng2 = np.random.default_rng(0)
+        k = rng2.standard_normal((4, 4, 192, 128)).astype(np.float32)
+        v = rng2.standard_normal((4, 4, 192, 128)).astype(np.float32)
+        k1 = rng2.standard_normal((4, 4, 1, 128)).astype(np.float32)
+        v1 = rng2.standard_normal((4, 4, 1, 128)).astype(np.float32)
+        q = rng2.standard_normal((4, 4, 1, 128)).astype(np.float32)
+        cache = C.prefill(spec, jnp.asarray(k), jnp.asarray(v))
+        cache = C.append(spec, cache, jnp.asarray(k1), jnp.asarray(v1),
+                         key=jax.random.PRNGKey(0))
+        want = np.asarray(C.attend(spec, cache, jnp.asarray(q)))
+        ok = bool(np.allclose(out, want, rtol=2e-4, atol=2e-4))
+    return {"strategy": "MULTIHOST(TPx2 over 2 processes)", "ways": 2,
+            "exact": ok}
+
+
 def main():
     prompts = [[1, 2, 3, 4, 5, 6, 7]]
     t0 = time.time()
@@ -70,6 +122,8 @@ def main():
         out = eng.generate(prompts * dp, 12)
         rows.append({"strategy": "DP", "ways": dp,
                      "exact": all(o == ref[0] for o in out)})
+
+    rows.append(_multihost_row())
 
     payload = {
         "protocol": ("virtual 8-device CPU mesh; generation must be "
