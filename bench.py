@@ -129,16 +129,22 @@ def remaining():
     return GLOBAL_BUDGET - (time.time() - T0)
 
 
-def run_stage(name, budget_s, fn):
+def run_stage(name, budget_s, fn, min_s=45):
     """Run fn under min(budget_s, remaining-global) seconds. On timeout the
     device is assumed wedged (all later ops would queue behind the hung
     one): the alarm handler emits what we have and exits. Python-level
-    exceptions are recorded and the next stage still runs."""
+    exceptions are recorded and the next stage still runs.
+
+    If the remaining global budget cannot fit even ``min_s`` of the stage,
+    exit CLEANLY between stages instead of starting it — an alarm exit
+    mid-device-op is a killed client and can re-wedge the device for the
+    NEXT run (observed r5 attempt 3), a clean exit cannot."""
     budget = int(min(budget_s, remaining()))
-    if budget <= 5:
+    if budget <= min_s:
         RESULT.setdefault("note", "global budget exhausted before " + name)
         emit_and_exit()
     _STAGE.update(name=name, budget=budget)
+    heartbeat("init")
     signal.alarm(budget)
     t0 = time.time()
     try:
