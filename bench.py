@@ -595,17 +595,31 @@ def main():
     # Cheap-first stage order: a complete H=8 ratio lands within ~2 min
     # warm / ~6 min cold; H=32 and the model stages upgrade the record
     # with whatever budget remains. run_stage clamps to remaining().
-    run_stage(f"bf16{_suffix(H8)}", 70, lambda: stage_bf16(H8))
-    run_stage(f"int2_gearl{_suffix(H8)}", 230, lambda: stage_headline(H8))
+    # BENCH_ONLY=name1,name2 runs a subset (in-session compile warming of
+    # one expensive stage under a dedicated budget).
+    stages = [
+        (f"bf16{_suffix(H8)}", 70, lambda: stage_bf16(H8)),
+        (f"int2_gearl{_suffix(H8)}", 230, lambda: stage_headline(H8)),
+    ]
     if H8 != HEADS:
-        run_stage("bf16", 60, lambda: stage_bf16(HEADS))
-        run_stage("int2_gearl", 140, lambda: stage_headline(HEADS))
-    run_stage("model", 130, stage_model)
-    run_stage("model_b8", 80, stage_model_b8)
-    run_stage("int2_gear", 130, lambda: stage_gear_outliers(HEADS))
-    run_stage("int2_gearl_kcvt", 60, lambda: stage_kcvt(HEADS))
-    run_stage("int4_gearl", 60, lambda: stage_int4(HEADS))
-    run_stage("paged", 70, lambda: stage_paged(HEADS))
+        stages += [
+            ("bf16", 60, lambda: stage_bf16(HEADS)),
+            ("int2_gearl", 140, lambda: stage_headline(HEADS)),
+        ]
+    stages += [
+        ("model", 130, stage_model),
+        ("model_b8", 80, stage_model_b8),
+        ("int2_gear", 130, lambda: stage_gear_outliers(HEADS)),
+        ("int2_gearl_kcvt", 60, lambda: stage_kcvt(HEADS)),
+        ("int4_gearl", 60, lambda: stage_int4(HEADS)),
+        ("paged", 70, lambda: stage_paged(HEADS)),
+    ]
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    for name, budget, fn in stages:
+        if only and name not in only:
+            continue
+        run_stage(name, max(budget, remaining() - 15) if only else budget,
+                  fn)
     emit()
 
 
