@@ -459,7 +459,9 @@ def stage_model():
             best = dt if best is None else min(best, dt)
         return best
 
-    fused_impl = "pallas_interpret" if INTERPRET else "pallas@4"
+    fused_impl = os.environ.get(
+        "BENCH_MODEL_FUSED_IMPL",
+        "pallas_interpret" if INTERPRET else "pallas@4")
     dt_fused = run(True, fused_impl, 1, MCTX, "b1")
     RESULT["model_tok_s_fused"] = round(1.0 / dt_fused, 1)
     RESULT["model_config"] = f"{NL}L x 2048h, {MCTX} ctx, INT2 GEARL, B=1"
