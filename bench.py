@@ -370,7 +370,7 @@ def stage_paged(heads):
     k, v, q = Ctx.at_heads(heads)
     spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=2,
                      base_bits=8, v_group_size=128)
-    pb = min(16, spec.n_blocks)
+    pb = min(int(os.environ.get("BENCH_PAGED_PB", 16)), spec.n_blocks)
     pspec = PG.PagedSpec(spec=spec, n_pages=spec.n_blocks // pb,
                          page_blocks=pb)
     heartbeat("prefill")
