@@ -330,7 +330,8 @@ def stage_bf16(heads):
     RESULT[f"us_per_step_{name}"] = round(dt * 1e6, 1)
     _roofline_keys(name, spec, dt, heads, compressed=False)
     # backfill vs_baseline for same-rung stages that already ran
-    for cfg in ("int2_gearl", "int2_gear", "int2_gearl_kcvt", "int4_gearl"):
+    for cfg in ("int2_gearl", "int2_gear", "int2_gear_o128",
+                "int2_gearl_kcvt", "int4_gearl"):
         key = f"us_per_step_{cfg}{_suffix(heads)}"
         if key in RESULT:
             RESULT[f"vs_baseline_{cfg}{_suffix(heads)}"] = round(
@@ -348,6 +349,16 @@ def stage_gear_outliers(heads):
     spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=4,
                      base_bits=8, outliers_per_block=164, v_group_size=128)
     attention_config(f"int2_gear{_suffix(heads)}", spec, heads)
+
+
+def stage_gear_o128(heads):
+    """GEAR with 128 outliers/block (1.56% vs the canonical 2%): KO fits
+    one 128-lane window per tensor, halving the K gather/scatter and V
+    boundary work — measured >=1.1x vs bf16 at H=32 where the canonical
+    164 (padded to 256) sits just under parity (kbench r5)."""
+    spec = make_spec(heads=heads, bits=2, rank=2, prefill_rank=4,
+                     base_bits=8, outliers_per_block=128, v_group_size=128)
+    attention_config(f"int2_gear_o128{_suffix(heads)}", spec, heads)
 
 
 def stage_kcvt(heads):
@@ -624,6 +635,7 @@ def main():
         ("model", 130, stage_model),
         ("model_b8", 80, stage_model_b8),
         ("int2_gear", 130, lambda: stage_gear_outliers(HEADS)),
+        ("int2_gear_o128", 80, lambda: stage_gear_o128(HEADS)),
         ("int2_gearl_kcvt", 60, lambda: stage_kcvt(HEADS)),
         ("int4_gearl", 60, lambda: stage_int4(HEADS)),
         ("paged", 70, lambda: stage_paged(HEADS)),

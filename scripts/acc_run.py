@@ -114,6 +114,12 @@ def do_eval(args):
                 compress_method="GEARL", quantize_bit=2, **base),
             "GEAR-int2-left10": CompressionConfig(
                 compress_method="GEAR", quantize_bit=2, left=0.10, **base),
+            # speed-optimal outlier count (one 128-lane window per tensor
+            # at D=128/g=64 — bench stage int2_gear_o128): accuracy delta
+            # vs the canonical 2% must be ~0 for the speed claim to stand
+            "GEAR-int2-left1.56": CompressionConfig(
+                compress_method="GEAR", quantize_bit=2, left=0.015625,
+                **base),
             "GEAR-int2-g16": CompressionConfig(
                 compress_method="GEAR", quantize_bit=2, left=0.02, **g16),
             "GEAR-int2-rank8": CompressionConfig(
