@@ -46,6 +46,7 @@ def test_bench_smoke_produces_record():
     assert "us_per_step_paged_int2_gearl" in rec, rec
     assert rec.get("paged_vs_dense", 0) > 0, rec
     assert "error" not in rec, rec
-    # every stage must have emitted an intermediate record too
-    first = json.loads(lines[0])
-    assert "s_health" in first, lines[0]
+    # the health stage must have recorded its duration, and intermediate
+    # lines (heartbeats) must precede the final record
+    assert "s_health" in rec, rec
+    assert len(lines) > 8, out.stdout
