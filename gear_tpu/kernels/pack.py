@@ -109,9 +109,14 @@ def quant_pack_tokens(x, *, bits, v_group, sideband_dtype=jnp.bfloat16,
     m, d = x.shape
     wd = d * bits // 32
     ngv = d // v_group
+    # Row tile: must divide m AND be a sublane multiple (8) — Mosaic
+    # rejects non-8-multiple block rows unless the block spans the whole
+    # array (hit at 16k ctx where m=16256 made the old loop pick 508).
     tm = min(512, m)
-    while m % tm:
+    while tm > 1 and (m % tm or tm % 8):
         tm -= 1
+    if tm % 8:
+        tm = m  # full-array block (equal-to-array dims is always legal)
     kernel = functools.partial(_token_kernel, bits=bits, v_group=v_group)
     return pl.pallas_call(
         kernel,
