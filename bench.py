@@ -405,7 +405,8 @@ def stage_paged(heads):
         RESULT["paged_vs_dense"] = round(dense / (dt * 1e6), 3)
 
 
-def stage_model():
+def stage_model(hidden=2048, inter=5632, heads=16, kv_heads=16,
+                layers_env="BENCH_MODEL_LAYERS", tag="model"):
     """Real forward-pass decode: MLP + scan + logits included. B=1 @ 8k
     ctx, then the reference speed protocol's batch-8 variant (1k-token
     prefill, cuda_supported_gear/test.py:25-37)."""
@@ -414,23 +415,23 @@ def stage_model():
     from gear_tpu import cache as C
     from gear_tpu.models import llama as L
 
-    NL = int(os.environ.get("BENCH_MODEL_LAYERS", 8))
+    NL = int(os.environ.get(layers_env, 8))
     MCTX = int(os.environ.get("BENCH_MODEL_CTX", 8192))
-    cfg = L.ModelConfig(vocab_size=32000, hidden_size=2048,
-                        intermediate_size=5632, num_layers=NL,
-                        num_heads=16, num_kv_heads=16, head_dim=128,
+    cfg = L.ModelConfig(vocab_size=32000, hidden_size=hidden,
+                        intermediate_size=inter, num_layers=NL,
+                        num_heads=heads, num_kv_heads=kv_heads, head_dim=128,
                         max_position_embeddings=max(MCTX, 2048))
     MN = int(os.environ.get("BENCH_MODEL_STEPS", 40))
     params = L.init_params(jax.random.PRNGKey(0), cfg)
 
     def run(compress, attn_impl, batch, mctx, label):
         pre = mctx - 92
-        spec = C.CacheSpec(batch=batch, num_kv_heads=16, head_dim=128,
+        spec = C.CacheSpec(batch=batch, num_kv_heads=kv_heads, head_dim=128,
                            max_len=mctx, bits=2, group=64, rank=2,
                            prefill_rank=2, lowrank_loop=3, base_bits=8,
                            v_group_size=128, dtype=jnp.bfloat16,
                            sideband_dtype=jnp.bfloat16)
-        kv_shape = (batch, 16, pre, 128)
+        kv_shape = (batch, kv_heads, pre, 128)
         kk, kv = jax.random.split(jax.random.PRNGKey(7))
         k = jax.random.normal(kk, kv_shape, jnp.float32) * 0.3
         v = jax.random.normal(kv, kv_shape, jnp.float32) * 0.3
@@ -474,12 +475,22 @@ def stage_model():
         "BENCH_MODEL_FUSED_IMPL",
         "pallas_interpret" if INTERPRET else "pallas@4")
     dt_fused = run(True, fused_impl, 1, MCTX, "b1")
-    RESULT["model_tok_s_fused"] = round(1.0 / dt_fused, 1)
-    RESULT["model_config"] = f"{NL}L x 2048h, {MCTX} ctx, INT2 GEARL, B=1"
+    RESULT[f"{tag}_tok_s_fused"] = round(1.0 / dt_fused, 1)
+    RESULT[f"{tag}_config"] = (
+        f"{NL}L x {hidden}h x {heads}q/{kv_heads}kv, {MCTX} ctx, "
+        "INT2 GEARL, B=1")
     emit()
     dt_raw = run(False, "xla", 1, MCTX, "b1_bf16")
-    RESULT["model_tok_s_bf16"] = round(1.0 / dt_raw, 1)
-    RESULT["model_vs_baseline"] = round(dt_raw / dt_fused, 3)
+    RESULT[f"{tag}_tok_s_bf16"] = round(1.0 / dt_raw, 1)
+    RESULT[f"{tag}_vs_baseline"] = round(dt_raw / dt_fused, 3)
+
+
+def stage_model_7b():
+    """Llama-2-7B layer shapes (hidden 4096, 32 heads of 128): the
+    attention-dominated regime the north-star targets — 8 such layers at
+    8k ctx, B=1 (full 32-layer 7B exceeds one v5e's HBM with f32 init)."""
+    stage_model(hidden=4096, inter=11008, heads=32, kv_heads=32,
+                layers_env="BENCH_MODEL7B_LAYERS", tag="model7b")
 
 
 def stage_model_b8():
@@ -633,6 +644,10 @@ def main():
         ]
     stages += [
         ("model", 130, stage_model),
+    ]
+    if not INTERPRET:  # 4096-hidden interpret run would dwarf the smoke
+        stages += [("model_7b", 110, stage_model_7b)]
+    stages += [
         ("model_b8", 80, stage_model_b8),
         ("int2_gear", 130, lambda: stage_gear_outliers(HEADS)),
         ("int2_gear_o128", 80, lambda: stage_gear_o128(HEADS)),
