@@ -452,7 +452,8 @@ def stage_model(hidden=2048, inter=5632, heads=16, kv_heads=16,
                 logits, caches = L.forward_decode(
                     params, cfg, tok, jnp.full((batch,), pre, jnp.int32) + i,
                     caches, spec=spec, compress=compress,
-                    attn_impl=attn_impl)
+                    attn_impl=attn_impl,
+                    append_kv=not os.environ.get("BENCH_MODEL_NO_APPEND"))
                 return (jnp.argmax(logits, -1).astype(jnp.int32), caches), 0
             (tok, caches), _ = jax.lax.scan(
                 body, (tok0, caches), jnp.arange(MN, dtype=jnp.int32))

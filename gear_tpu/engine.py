@@ -17,6 +17,7 @@ Modes:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -206,7 +207,11 @@ class InferenceEngine:
             hspec = getattr(self, "hspec", None)
             sspec = getattr(self, "sspec", None)
 
-            @jax.jit
+            # caches are DONATED: without donation every decode step
+            # allocates + copies the full compressed cache (all layers —
+            # ~25 MB/layer at 8k/H=32), a per-step tax the generate loop's
+            # linear caches-reassignment never needs.
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def step(params, caches, token, position, pad_start, prng):
                 if mode == "h2o":
                     logits, caches = llama.forward_decode_h2o(
@@ -235,7 +240,7 @@ class InferenceEngine:
             temp = self.ecfg.temperature
             mesh, axis = self.seq_mesh, self.seq_axis
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def step(params, caches, token, position, pad_start, prng):
                 logits, caches = llama.forward_decode_seqsharded(
                     params, cfg, token, position, caches, mesh,

@@ -375,11 +375,15 @@ def forward_decode(
     pad_start: jax.Array | None = None,
     prng: jax.Array | None = None,
     attn_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
+    append_kv: bool = True,  # False = benchmarking ablation (frozen cache)
 ) -> tuple[jax.Array, LayerCache]:
     """One decode step: append KV, attend against the compressed cache.
 
     Mirrors the reference decode ordering (cache update then attention over
     everything including the new token, modeling_llamagear.py:208-384).
+    ``append_kv=False`` skips the cache update (attention runs over the
+    frozen cache) — output tokens are then WRONG; it exists only to isolate
+    the append/flush cost in benchmarks (bench.py BENCH_MODEL_NO_APPEND).
     """
     b = token.shape[0]
     h = params["embed"][token].astype(cfg.dtype)[:, None]  # [B,1,E]
@@ -398,7 +402,8 @@ def forward_decode(
         k = apply_rope(k, cos, sin)
         win = cfg.sliding_window
         if compress:
-            lcache = kvcache.append(spec, lcache, k, v, key=lkey)
+            if append_kv:
+                lcache = kvcache.append(spec, lcache, k, v, key=lkey)
             if attn_impl.startswith("pallas"):
                 from ..kernels import decode as fused
 
