@@ -59,8 +59,28 @@ def power_iterate(
 
 
 def _thin_qr_q(a: jax.Array) -> jax.Array:
-    """Q factor of a thin QR, batched over leading dims."""
-    return jnp.linalg.qr(a, mode="reduced")[0]
+    """Q factor of a thin QR, batched over leading dims.
+
+    For the small ranks GEAR uses (r <= 8) this is a modified Gram-Schmidt
+    unrolled over the static column count: XLA's batched Householder QR is
+    a serial custom call that measured ~tens of ms per decode-flush on TPU
+    (r5: the append path cost 1.15 ms/layer/step amortized, dominated by
+    these QRs), while MGS is a handful of fused VPU ops. Q can differ from
+    Householder Q by per-column signs; every consumer uses Q only through
+    the product Q P^T, which is sign-invariant (parity pinned by
+    tests/test_reference_parity.py::test_poweriteration_parity)."""
+    r = a.shape[-1]
+    if r > 8:
+        return jnp.linalg.qr(a, mode="reduced")[0]
+    af = a.astype(jnp.float32)
+    cols = []
+    for i in range(r):
+        v = af[..., i]
+        for qj in cols:
+            v = v - jnp.sum(qj * v, axis=-1, keepdims=True) * qj
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        cols.append(v / jnp.maximum(nrm, 1e-12))
+    return jnp.stack(cols, axis=-1)
 
 
 def reconstruct(p: jax.Array, q: jax.Array, dtype=None) -> jax.Array:
