@@ -649,7 +649,9 @@ def main():
     if not INTERPRET:  # 4096-hidden interpret run would dwarf the smoke
         stages += [("model_7b", 110, stage_model_7b)]
     stages += [
-        ("model_b8", 80, stage_model_b8),
+        # interpret-mode smoke runs share CPUs with xdist workers — the
+        # B=8 interpret stage needs contention headroom (observed flake)
+        ("model_b8", 170 if INTERPRET else 80, stage_model_b8),
         ("int2_gear", 130, lambda: stage_gear_outliers(HEADS)),
         ("int2_gear_o128", 80, lambda: stage_gear_o128(HEADS)),
         ("int2_gearl_kcvt", 60, lambda: stage_kcvt(HEADS)),
