@@ -61,3 +61,33 @@ def test_invalid_args():
         lowrank.power_iterate(x, rank=0, n_iter=3)
     with pytest.raises(ValueError):
         lowrank.power_iterate(x, rank=2, n_iter=0)
+
+
+def test_thin_qr_q_orthonormal_and_matches_reconstruction():
+    """The unrolled Gram-Schmidt (rank<=8 fast path, r5) must produce
+    orthonormal columns and a reconstruction identical to the Householder
+    QR route up to sign-invariant products."""
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((2, 3, 64, 4)).astype(np.float32))
+    q = lowrank._thin_qr_q(a)
+    gram = np.asarray(jnp.einsum("...si,...sj->...ij", q, q))
+    np.testing.assert_allclose(gram, np.broadcast_to(np.eye(4), gram.shape),
+                               atol=1e-5)
+    # projector equality vs numpy QR (sign-invariant): Q Q^T == Qh Qh^T
+    qh = np.linalg.qr(np.asarray(a))[0]
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("...si,...ti->...st", q, q)),
+        np.einsum("...si,...ti->...st", qh, qh), atol=1e-4)
+
+
+def test_thin_qr_q_rank_deficient_is_finite():
+    """Duplicate/zero columns must not produce NaN/Inf (eps-guarded norm);
+    the degenerate columns contribute ~nothing to Q P^T."""
+    col = np.random.default_rng(4).standard_normal((1, 1, 32, 1))
+    a = jnp.asarray(np.concatenate([col, col, np.zeros_like(col)],
+                                   axis=-1).astype(np.float32))
+    q = np.asarray(lowrank._thin_qr_q(a))
+    assert np.isfinite(q).all()
+    # first column is unit-norm; later (dependent) columns ~0 or orthogonal
+    n0 = np.linalg.norm(q[..., 0], axis=-1)
+    np.testing.assert_allclose(n0, 1.0, atol=1e-5)
