@@ -21,6 +21,7 @@ migrate a slot's cache across hosts in its wire format.
 from __future__ import annotations
 
 import ctypes
+import functools
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -260,7 +261,9 @@ class ServingEngine:
 
             params_c = self.params
 
-            @jax.jit
+            # caches donated: the serving loop reassigns them every step
+            # (without donation each step copies every slot's full cache)
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def step(caches, tokens, positions, pad_starts, prng):
                 keys = jax.random.split(prng, tokens.shape[0])
                 return jax.vmap(one_slot, in_axes=(1, 0, 0, 0, 0),
@@ -433,7 +436,7 @@ class PagedServingEngine:
             cfg, pspec, impl = self.cfg, self.pspec, self.attn_impl
             params_c = self.params
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
             def step(pools, seqs, tokens, positions, pad_starts, live, prng):
                 logits, pools, seqs = llama.forward_decode_paged(
                     params_c, cfg, tokens, positions, pools, seqs,
