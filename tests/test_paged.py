@@ -255,10 +255,12 @@ def test_paged_kernel_window_mask(rng):
         (2, 4, 1, spec.head_dim)).astype(np.float32))
     w = 96
     assert w >= spec.group
-    got = K.attend_paged(pspec, pool, seqs, q, window=w, interpret=True)
-    for row in range(2):
-        dense = P.gather_dense(pspec, pool, seqs, row)
-        want = C.attend(spec, dense, q[row:row + 1], window=w)
-        np.testing.assert_allclose(
-            np.asarray(got[row:row + 1]), np.asarray(want),
-            rtol=2e-2, atol=8e-3)
+    for hb in (1, 2):  # window masking must survive head batching
+        got = K.attend_paged(pspec, pool, seqs, q, window=w,
+                             heads_per_step=hb, interpret=True)
+        for row in range(2):
+            dense = P.gather_dense(pspec, pool, seqs, row)
+            want = C.attend(spec, dense, q[row:row + 1], window=w)
+            np.testing.assert_allclose(
+                np.asarray(got[row:row + 1]), np.asarray(want),
+                rtol=2e-2, atol=8e-3)
